@@ -1,0 +1,246 @@
+"""Workload configurations.
+
+The reference hard-codes every hyperparameter in notebook cells (SURVEY.md
+§5 "Config"); these dataclasses pin the five BASELINE.json workloads as
+reproducible configs with ``build(key, ...)`` constructors. Values cite the
+notebook cells they come from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpzoo_tpu import kernels, gps, models
+from gpzoo_tpu.bijectors import lower_cholesky_inverse
+
+
+@dataclasses.dataclass
+class SVGPRegressionConfig:
+    """1-D SVGP regression toy (SVGP.ipynb cells 2-9): N=10k 2sin(2x)+ε,
+    RBF(σ=1, ℓ=5), M=500, jitter=1e-3, Adam(1e-3), E=20."""
+
+    n: int = 10_000
+    M: int = 500
+    sigma: float = 1.0
+    lengthscale: float = 5.0
+    jitter: float = 1e-3
+    noise: float = 0.1
+    lr: float = 1e-3
+    E: int = 20
+    steps: int = 200
+    whitened: bool = False
+
+    def build(self, key):
+        kernel = kernels.RBF(
+            sigma=jnp.asarray(self.sigma),
+            lengthscale=jnp.asarray(self.lengthscale),
+        )
+        cls = gps.WSVGP if self.whitened else gps.SVGP
+        gp = cls.create(key, kernel, dim=1, M=self.M, jitter=self.jitter)
+        return models.GaussianLikelihood.create(gp, noise=self.noise)
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
+@dataclasses.dataclass
+class PNMFConfig:
+    """Probabilistic NMF benchmark (PNMF_benchmarks.ipynb cells 8-14):
+    L=4, Adam(1e-2), 10k steps, E=20."""
+
+    D: int = 80
+    N: int = 1000
+    L: int = 4
+    lr: float = 1e-2
+    E: int = 20
+    steps: int = 10_000
+
+    def build(self, key):
+        k1, k2 = jax.random.split(key)
+        prior = gps.GaussianPrior.create(k1, self.N, L=self.L)
+        return models.PNMF.create(k2, prior, self.D, self.N, L=self.L)
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
+@dataclasses.dataclass
+class NSFConfig:
+    """NSF spatial factorization benchmark (NSF_benchmarks.ipynb cells
+    9-21): L=4, M ∈ {100,250,500,1000}, NSF_RBF, jitter=1e-1, Adam(5e-3),
+    full batch, E=20."""
+
+    D: int = 80
+    N: int = 1000
+    L: int = 4
+    M: int = 500
+    sigma: float = 1.0
+    lengthscale: float = 1.0
+    jitter: float = 1e-1
+    lr: float = 5e-3
+    E: int = 20
+    steps: int = 10_000
+
+    def build(self, key, X=None):
+        k1, k2, k3 = jax.random.split(key, 3)
+        kernel = kernels.NSFRBF.create(
+            sigma=self.sigma, lengthscale=self.lengthscale, L=self.L
+        )
+        gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M, jitter=self.jitter)
+        if X is not None:
+            idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
+                                    replace=False)
+            gp = gp.replace(Z=jnp.asarray(X)[idx])
+        return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
+@dataclasses.dataclass
+class MGGPNSFConfig:
+    """MGGP-NSF on grouped spatial data
+    (Slideseq_MGGP_NSF_newest_version.ipynb cells 20-29): L=20,
+    M=215/group, MGGP_NSF_RBF(ℓ=1.5, α=2.0), jitter=1e-1, Adam(1e-3),
+    batch 7000, E=1, unnormalized Poisson."""
+
+    D: int = 100
+    N: int = 10_000
+    L: int = 20
+    M_per_group: int = 215
+    n_groups: int = 14
+    sigma: float = 1.0
+    lengthscale: float = 1.5
+    group_diff_param: float = 2.0
+    jitter: float = 1e-1
+    lr: float = 1e-3
+    E: int = 1
+    batch_size: int = 7000
+    steps: int = 11_000
+
+    @property
+    def M(self):
+        return self.M_per_group * self.n_groups
+
+    def build(self, key, X=None, groups=None):
+        k1, k2 = jax.random.split(key)
+        kernel = kernels.MGGPNSFRBF.create(
+            sigma=self.sigma,
+            lengthscale=self.lengthscale,
+            group_diff_param=self.group_diff_param,
+            n_groups=self.n_groups,
+            L=self.L,
+        )
+        gp = gps.MGGPSVGP.create(
+            k1, kernel, dim=2, M=self.M, jitter=self.jitter,
+            n_groups=self.n_groups,
+        )
+        if X is not None and groups is not None:
+            # Stratified inducing selection: M_per_group per group
+            # (notebook cell 22).
+            import numpy as np
+
+            Xn, gn = np.asarray(X), np.asarray(groups)
+            zs, gz = [], []
+            rng = np.random.default_rng(0)
+            for g in range(self.n_groups):
+                rows = np.flatnonzero(gn == g)
+                take = rng.choice(rows, size=self.M_per_group,
+                                  replace=len(rows) < self.M_per_group)
+                zs.append(Xn[take])
+                gz.append(np.full(self.M_per_group, g))
+            gp = gp.replace(
+                Z=jnp.asarray(np.concatenate(zs)),
+                groupsZ=jnp.asarray(np.concatenate(gz)),
+            )
+        return models.MGGPNSF.create(k2, gp, self.D, self.N, L=self.L)
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
+@dataclasses.dataclass
+class VNNGPConfig:
+    """Nearest-neighbor NSF (nnnsf_visium_anim_experiment.ipynb cells
+    9-13): NSF2(VNNGP(NSF_RBF(L=10), M=1000, K=8))."""
+
+    D: int = 100
+    N: int = 3000
+    L: int = 10
+    M: int = 1000
+    K: int = 8
+    sigma: float = 1.0
+    lengthscale: float = 1.0
+    jitter: float = 1e-1
+    lr: float = 5e-3
+    E: int = 3
+    steps: int = 1000
+
+    def build(self, key, X=None):
+        k1, k2, k3 = jax.random.split(key, 3)
+        kernel = kernels.NSFRBF.create(
+            sigma=self.sigma, lengthscale=self.lengthscale, L=self.L
+        )
+        gp = gps.VNNGP.create(k1, kernel, dim=2, M=self.M, K=self.K,
+                              jitter=self.jitter)
+        if X is not None:
+            idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
+                                    replace=False)
+            gp = gp.replace(Z=jnp.asarray(X)[idx])
+        return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
+@dataclasses.dataclass
+class SlideseqNSFConfig:
+    """The north-star workload (Slideseq_NSF_newest_version.ipynb cells
+    20-29): ~45k spots, L=20, M=3000, NSF_RBF(σ=1), jitter=1e-1,
+    Lu = I, mu ~ N(0,1), Z = data subset (frozen), Adam(2e-3),
+    batch 7000, E=1, 18k steps, unnormalized Poisson log-lik."""
+
+    D: int = 4000
+    N: int = 45_000
+    L: int = 20
+    M: int = 3000
+    sigma: float = 1.0
+    lengthscale: float = 1.0
+    jitter: float = 1e-1
+    lr: float = 2e-3
+    E: int = 1
+    batch_size: int = 7000
+    steps: int = 18_000
+    freeze_z: bool = True
+
+    def build(self, key, X):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        kernel = kernels.NSFRBF.create(
+            sigma=self.sigma, lengthscale=self.lengthscale, L=self.L
+        )
+        gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M, jitter=self.jitter)
+        idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
+                                replace=False)
+        gp = gp.replace(
+            Z=jnp.asarray(X)[idx],
+            mu=jax.random.normal(k4, (self.L, self.M)),
+            # Lu = identity: raw zeros map through exp-diag to I.
+            Lu_raw=lower_cholesky_inverse(
+                jnp.broadcast_to(jnp.eye(self.M), (self.L, self.M, self.M))
+            ),
+        )
+        return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+
+    def trainable(self, path: str) -> bool:
+        """Z (and optionally kernel hyperparams) frozen, per the notebook's
+        requires_grad flips (cells 20, 25)."""
+        if self.freeze_z and path.endswith(".Z"):
+            return False
+        return True
+
+    def optimizer(self):
+        return optax.adam(self.lr)

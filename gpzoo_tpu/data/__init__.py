@@ -1,0 +1,31 @@
+from gpzoo_tpu.data.preprocess import (
+    rescale_spatial_coords,
+    scanpy_sizefactors,
+    anndata_to_train_val,
+    arrays_to_train_val,
+)
+from gpzoo_tpu.data.nmf_init import (
+    regularized_nmf,
+    shrink_factors,
+    shrink_loadings,
+    lnormal_approx_dirichlet,
+    smooth_spatial_factors,
+)
+from gpzoo_tpu.data.metrics import morans_i, dims_autocorr
+from gpzoo_tpu.data.sim import simulate_nsf_counts, simulate_1d_regression
+
+__all__ = [
+    "rescale_spatial_coords",
+    "scanpy_sizefactors",
+    "anndata_to_train_val",
+    "arrays_to_train_val",
+    "regularized_nmf",
+    "shrink_factors",
+    "shrink_loadings",
+    "lnormal_approx_dirichlet",
+    "smooth_spatial_factors",
+    "morans_i",
+    "dims_autocorr",
+    "simulate_nsf_counts",
+    "simulate_1d_regression",
+]

@@ -1,0 +1,63 @@
+"""Spatial-autocorrelation metrics.
+
+The reference ranks latent factors by Moran's I computed through squidpy
+(``dims_autocorr``, utilities.py:131-156) — the library's main
+model-quality metric. squidpy isn't a dependency here; :func:`morans_i`
+implements the same statistic natively (row-normalized KNN weights, the
+squidpy ``spatial_neighbors`` default of 6 neighbors) so factor ranking
+works out of the box, and :func:`dims_autocorr` keeps the reference's
+(idx, I) return contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _knn_weights(coords, n_neighs=6):
+    """Row-normalized symmetrized KNN adjacency (squidpy-style weights)."""
+    coords = np.asarray(coords)
+    n = coords.shape[0]
+    d2 = (
+        np.sum(coords**2, axis=1)[:, None]
+        - 2.0 * coords @ coords.T
+        + np.sum(coords**2, axis=1)[None, :]
+    )
+    np.fill_diagonal(d2, np.inf)
+    nbr = np.argpartition(d2, n_neighs, axis=1)[:, :n_neighs]
+    w = np.zeros((n, n), dtype=np.float64)
+    rows = np.repeat(np.arange(n), n_neighs)
+    w[rows, nbr.ravel()] = 1.0
+    w = np.maximum(w, w.T)  # symmetrize (mutual neighbors counted once)
+    row_sums = w.sum(axis=1, keepdims=True)
+    row_sums[row_sums == 0] = 1.0
+    return w / row_sums
+
+
+def morans_i(values, coords=None, weights=None, n_neighs=6):
+    """Moran's I of one or more variables over spatial coordinates.
+
+    values: (N,) or (N, P); returns a scalar or (P,) array.
+    I = (N/ΣW) · (zᵀ W z) / (zᵀ z) with z the centered variable.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    if weights is None:
+        weights = _knn_weights(coords, n_neighs=n_neighs)
+    n = v.shape[0]
+    z = v - v.mean(axis=0, keepdims=True)
+    num = np.einsum("np,nm,mp->p", z, weights, z)
+    den = np.sum(z * z, axis=0)
+    i = (n / weights.sum()) * num / den
+    return i[0] if squeeze else i
+
+
+def dims_autocorr(factors, coords, sort=True, n_neighs=6):
+    """Rank latent dimensions by Moran's I (utilities.py:131-156 contract):
+    factors (N, L), coords (N, D) → (idx, I) with ``factors[:, idx]`` in
+    decreasing spatial autocorrelation when ``sort=True``."""
+    i_vals = morans_i(factors, coords, n_neighs=n_neighs)
+    idx = np.argsort(-i_vals) if sort else np.arange(len(i_vals))
+    return idx, i_vals[idx] if sort else i_vals

@@ -1,0 +1,62 @@
+"""Synthetic data generators.
+
+The reference's benchmark/validation data comes from the nsf-paper
+simulation ``S1.h5ad`` (ggblocks patterns) and sklearn GP draws — neither
+shippable here. These generators produce statistically equivalent
+workloads: multi-factor GP-smooth spatial patterns pushed through the NSF
+observation model, and the 1-D ``2·sin(2x)`` regression toy
+(``SVGP.ipynb (cell 2)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def simulate_1d_regression(key_or_seed=0, n=10_000, noise=0.5, xmax=6.0):
+    """The SVGP notebook's toy: x ~ U(0, xmax), y = 2 sin(2x) + ε."""
+    rng = np.random.default_rng(key_or_seed)
+    x = rng.uniform(0.0, xmax, size=(n, 1)).astype(np.float32)
+    y = (2.0 * np.sin(2.0 * x[:, 0]) +
+         noise * rng.standard_normal(n)).astype(np.float32)
+    return x, y
+
+
+def _ggblocks_factors(coords, L):
+    """Deterministic spatial patterns over [-2,2]²: quadrant blocks,
+    rings, and stripes — an nsf-paper-style 'ggblocks' stand-in that gives
+    each factor a distinct, highly autocorrelated spatial footprint."""
+    x, y = coords[:, 0], coords[:, 1]
+    r = np.sqrt(x**2 + y**2)
+    patterns = [
+        (x > 0) & (y > 0),
+        (x < 0) & (y > 0),
+        (x < 0) & (y < 0),
+        (x > 0) & (y < 0),
+        r < 1.0,
+        (r > 1.0) & (r < 1.8),
+        np.sin(2.0 * x) > 0,
+        np.sin(2.0 * y) > 0,
+    ]
+    out = []
+    for l in range(L):
+        out.append(patterns[l % len(patterns)].astype(np.float64))
+    return np.stack(out, axis=0)  # (L, N)
+
+
+def simulate_nsf_counts(seed=0, N=2000, D=80, L=4, mean_counts=10.0):
+    """Counts from the NSF generative model over block spatial factors.
+
+    Returns (coords (N,2) float32, counts (D,N) float32, true log-factors
+    (L,N)). Matches the shape conventions of the reference benchmarks
+    (genes × spots, PNMF_benchmarks.ipynb / NSF_benchmarks.ipynb).
+    """
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-2.0, 2.0, size=(N, 2))
+    fac = _ggblocks_factors(coords, L)  # (L, N) in {0,1}
+    log_f = np.log(0.2 + 2.0 * fac)  # active ≈ 2.2, background 0.2
+    w = rng.dirichlet(np.ones(L) * 0.5, size=D)  # (D, L) sparse-ish loadings
+    rate = w @ np.exp(log_f)  # (D, N)
+    rate *= mean_counts / rate.mean()
+    counts = rng.poisson(rate).astype(np.float32)
+    return coords.astype(np.float32), counts, log_f

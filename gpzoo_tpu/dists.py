@@ -1,0 +1,143 @@
+"""Minimal distribution pytrees.
+
+The reference leans on ``torch.distributions`` for four things only:
+``Normal`` / ``MultivariateNormal(scale_tril=...)`` / ``Poisson`` objects,
+``rsample``, ``log_prob``, and ``kl_divergence`` between same-family pairs
+(``utilities.py:479-481``, ``likelihoods.py`` passim). We implement exactly
+that surface as immutable pytree dataclasses so distributions can flow
+through ``jit`` / ``vmap`` / ``grad`` like any other array structure.
+
+All math is shape-polymorphic over leading batch dims, mirroring the
+reference's ``(L, ...)`` factor batching.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_LOG_2PI = 1.8378770664093453  # log(2*pi)
+
+
+@struct.dataclass
+class Normal:
+    """Diagonal/elementwise normal, batch shape = broadcast(loc, scale)."""
+
+    loc: Any
+    scale: Any
+
+    @property
+    def mean(self):
+        return self.loc
+
+    def sample(self, key, sample_shape=()):
+        """Reparameterized sample (torch ``rsample``); grads flow to params."""
+        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+            jnp.shape(self.loc), jnp.shape(self.scale)
+        )
+        eps = jax.random.normal(key, shape, dtype=jnp.result_type(self.loc))
+        return self.loc + self.scale * eps
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -0.5 * (z * z + _LOG_2PI) - jnp.log(self.scale)
+
+    def variance(self):
+        return jnp.square(self.scale)
+
+
+@struct.dataclass
+class MultivariateNormalTril:
+    """MVN parameterized by a lower-triangular scale factor.
+
+    ``loc``: (..., M); ``scale_tril``: (..., M, M) lower-triangular with
+    positive diagonal. Mirrors ``torch.distributions.MultivariateNormal(
+    loc, scale_tril=...)`` as used at ``gp.py:229-230``.
+    """
+
+    loc: Any
+    scale_tril: Any
+
+    @property
+    def mean(self):
+        return self.loc
+
+    def sample(self, key, sample_shape=()):
+        batch = jnp.broadcast_shapes(
+            jnp.shape(self.loc), jnp.shape(self.scale_tril)[:-1]
+        )
+        shape = tuple(sample_shape) + batch
+        eps = jax.random.normal(key, shape, dtype=jnp.result_type(self.loc))
+        return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
+
+    def log_prob(self, x):
+        diff = x - self.loc
+        sol = jax.scipy.linalg.solve_triangular(
+            self.scale_tril, diff[..., None], lower=True
+        )[..., 0]
+        m = self.loc.shape[-1]
+        half_logdet = jnp.sum(
+            jnp.log(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)), axis=-1
+        )
+        return -0.5 * (jnp.sum(sol * sol, axis=-1) + m * _LOG_2PI) - half_logdet
+
+
+@struct.dataclass
+class Poisson:
+    rate: Any
+
+    @property
+    def mean(self):
+        return self.rate
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + jnp.shape(self.rate)
+        return jax.random.poisson(key, self.rate, shape=shape)
+
+    def log_prob(self, x):
+        """Normalized Poisson log-pmf (torch parity, utilities.py:479,611)."""
+        return x * jnp.log(self.rate) - self.rate - jax.lax.lgamma(x + 1.0)
+
+    def unnormalized_log_prob(self, x):
+        """``y·log(rate) − rate`` — the reference's minibatch training
+        convention (utilities.py:611), dropping the data-only ``log y!``."""
+        return x * jnp.log(self.rate) - self.rate
+
+
+def kl_normal_normal(q: Normal, p: Normal):
+    """Elementwise KL(q‖p) for two diagonal normals."""
+    var_ratio = jnp.square(q.scale / p.scale)
+    t1 = jnp.square((q.loc - p.loc) / p.scale)
+    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))
+
+
+def kl_mvn_mvn(q: MultivariateNormalTril, p: MultivariateNormalTril):
+    """KL(q‖p) between scale_tril MVNs, batched over leading dims.
+
+    0.5·(tr(Σp⁻¹Σq) + ‖Lp⁻¹(μp−μq)‖² − M) + log|Lp| − log|Lq|,
+    computed with triangular solves only (no explicit inverses).
+    """
+    lq, lp = q.scale_tril, p.scale_tril
+    lq, lp = jnp.broadcast_arrays(lq, lp)
+    a = jax.scipy.linalg.solve_triangular(lp, lq, lower=True)
+    trace = jnp.sum(a * a, axis=(-2, -1))
+    diff = p.loc - q.loc
+    diff = jnp.broadcast_to(diff, lq.shape[:-2] + diff.shape[-1:])
+    b = jax.scipy.linalg.solve_triangular(lp, diff[..., None], lower=True)[..., 0]
+    maha = jnp.sum(b * b, axis=-1)
+    m = lq.shape[-1]
+    logdet_p = jnp.sum(jnp.log(jnp.diagonal(lp, axis1=-2, axis2=-1)), axis=-1)
+    logdet_q = jnp.sum(jnp.log(jnp.diagonal(lq, axis1=-2, axis2=-1)), axis=-1)
+    return 0.5 * (trace + maha - m) + logdet_p - logdet_q
+
+
+def kl_divergence(q, p):
+    """Dispatch analogous to ``torch.distributions.kl_divergence``."""
+    if isinstance(q, Normal) and isinstance(p, Normal):
+        return kl_normal_normal(q, p)
+    if isinstance(q, MultivariateNormalTril) and isinstance(p, MultivariateNormalTril):
+        return kl_mvn_mvn(q, p)
+    raise NotImplementedError(f"KL({type(q).__name__} ‖ {type(p).__name__})")

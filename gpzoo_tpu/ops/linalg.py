@@ -1,0 +1,102 @@
+"""Shared GP linear algebra.
+
+Functional counterparts of the reference's L0 math utilities
+(``/root/reference/gpzoo/utilities.py``). The reference's ``add_jitter``
+mutates its argument in place (utilities.py:407-418) and callers depend on
+the mutated matrix flowing downstream (e.g. ``gp.py:360`` → ``gp.py:373``);
+here every function is pure and callers explicitly thread the jittered
+matrix to every consumer — the GP layer replicates the *effective* data
+flow, not the mutation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def add_jitter(mat, jitter=1e-3):
+    """Return ``mat + jitter·I`` on the trailing two dims (pure).
+
+    Functional analog of utilities.py:407-418 for any batch rank.
+    """
+    n = mat.shape[-1]
+    return mat + jitter * jnp.eye(n, dtype=mat.dtype)
+
+
+def safe_sqrt(x, eps=1e-12):
+    """sqrt(x + eps): avoids the NaN gradient of sqrt at 0
+    (utilities.py:450-456)."""
+    return jnp.sqrt(x + eps)
+
+
+def svgp_forward(kxx_diag, kzz, w, inducing_mean, inducing_cov):
+    """Marginal posterior projection shared by all SVGP variants.
+
+    mean = W μᵤ,  cov_diag = Kxx_diag + rowsum((W (S − Kzz)) ⊙ W)
+    (utilities.py:382-397). Shapes, batched over any leading dims:
+      kxx_diag (..., N), kzz (..., M, M), w (..., N, M),
+      inducing_mean (..., M), inducing_cov (..., M, M)
+    → mean (..., N), cov_diag (..., N).
+    """
+    mean = jnp.einsum("...nm,...m->...n", w, inducing_mean)
+    diff = inducing_cov - kzz
+    wd = jnp.einsum("...nm,...mk->...nk", w, diff)
+    cov_diag = kxx_diag + jnp.sum(wd * w, axis=-1)
+    return mean, cov_diag
+
+
+def whitened_kl(mz, lz):
+    """Closed-form KL(N(m, LLᵀ) ‖ N(0, I)) (utilities.py:27-36).
+
+    Batched over leading dims of ``lz`` (..., M, M) / ``mz`` (..., M);
+    the reference version is correct only for the unbatched 2-D case — this
+    one reduces the trailing event dims so it also covers (L, M, M).
+    """
+    lz_diag = jnp.diagonal(lz, axis1=-2, axis2=-1)
+    m = lz.shape[-1]
+    kl = (
+        -2.0 * jnp.sum(jnp.log(lz_diag), axis=-1)
+        + jnp.sum(jnp.square(lz), axis=(-2, -1))
+        + jnp.sum(jnp.square(mz), axis=-1)
+        - m
+    )
+    return 0.5 * kl
+
+
+def embed_distance_matrix(distance_matrix, eps=1e-6):
+    """Classical MDS embedding of a distance matrix (utilities.py:459-469).
+
+    Double-center −½D², eigendecompose, zero negative eigenvalues, return
+    ``Q diag(sqrt(λ + eps))``. Used to embed MGGP group distances.
+    """
+    d = jnp.asarray(distance_matrix)
+    n = d.shape[-1]
+    d2 = jnp.square(d)
+    c = jnp.eye(n, dtype=d.dtype) - jnp.ones((n, n), dtype=d.dtype) / n
+    b = -0.5 * (c @ d2 @ c)
+    eigvals, eigvecs = jnp.linalg.eigh(b)
+    eigvals = jnp.maximum(eigvals, 0.0)
+    return eigvecs @ jnp.diag(safe_sqrt(eigvals, eps))
+
+
+def build_group_distances(x, groups, n_groups):
+    """Distance matrix between per-group mean positions (utilities.py:14-23).
+
+    Note the reference averages over *all* coordinates into a scalar per
+    group (``torch.mean(X[mask])`` with no axis, utilities.py:19 — both
+    columns of the (N,2) slice collapse to one number, broadcast back to the
+    (2,) row). We replicate that exact behavior for parity.
+    """
+    x = jnp.asarray(x)
+
+    def group_mean(g):
+        mask = groups == g
+        total = jnp.sum(jnp.where(mask[:, None], x, 0.0))
+        count = jnp.sum(mask) * x.shape[1]
+        return jnp.full((x.shape[1],), total / count)
+
+    avg = jax.vmap(group_mean)(jnp.arange(n_groups))
+    from gpzoo_tpu.ops.distance import cdist
+
+    return cdist(avg, avg)

@@ -1,0 +1,41 @@
+"""Device-mesh construction helpers.
+
+The reference is single-process single-device (SURVEY.md §2.7); scaling
+here is the TPU-native design: a :class:`jax.sharding.Mesh` over the chips
+of a slice, with the spot (N) axis of each minibatch data-parallel over the
+``"data"`` axis and, optionally, the latent-factor (L) axis of the batched
+Choleskys model-parallel over a ``"factor"`` axis. Collectives are inserted
+by XLA's SPMD partitioner and ride ICI.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def create_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    """Mesh from ``{"axis": size, ...}``; sizes must multiply to the device
+    count (one size may be -1 to infer)."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    names = tuple(axis_sizes.keys())
+    sizes = list(axis_sizes.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = len(devices) // known
+    total = int(np.prod(sizes))
+    if total != len(devices):
+        raise ValueError(
+            f"mesh {dict(zip(names, sizes))} needs {total} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.array(devices).reshape(sizes)
+    return Mesh(arr, names)
+
+
+def data_parallel_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices with axis ``"data"`` — the
+    default layout for minibatch-sharded NSF training."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    return Mesh(np.array(devices), ("data",))

@@ -1,0 +1,122 @@
+"""ELBO objectives.
+
+Each function mirrors one of the reference's training-loop loss bodies
+(``utilities.py:471-632``) as a pure ``(model, data, key) → scalar loss``
+suitable for ``jax.value_and_grad`` inside a jitted step. Conventions the
+reference relies on are preserved:
+
+* the expected log-likelihood is the mean over the E sample axis, then a
+  *sum* over all (D, N) entries (utilities.py:479);
+* minibatch losses use the **unnormalized** Poisson log-likelihood
+  ``y·log(rate) − rate`` (utilities.py:611) — select with
+  ``unnormalized=True`` (the default for the ``*_batched`` variants);
+* the KL term is **not** rescaled by N/B on minibatches (a deliberate
+  reference quirk, utilities.py:616);
+* whitened GPs (``pU is None``) use the closed-form
+  :func:`gpzoo_tpu.ops.linalg.whitened_kl` against N(0, I).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gpzoo_tpu import dists
+from gpzoo_tpu.bijectors import softplus
+from gpzoo_tpu.ops.linalg import whitened_kl
+
+
+def _gp_kl(model_or_gp, qu, pu):
+    """KL(qU‖pU): MVN-MVN when the prior is explicit, whitened closed form
+    when pU is None (WSVGP contract, gp.py:304-306)."""
+    if pu is None:
+        return jnp.sum(whitened_kl(qu.loc, qu.scale_tril))
+    return jnp.sum(dists.kl_divergence(qu, pu))
+
+
+def _expected_ll(py, y, unnormalized):
+    if unnormalized:
+        lp = py.unnormalized_log_prob(y) if isinstance(py, dists.Poisson) else py.log_prob(y)
+    else:
+        lp = py.log_prob(y)
+    return jnp.sum(jnp.mean(lp, axis=0))
+
+
+def negative_elbo(model, x, y, key, E=20, unnormalized=False, **kwargs):
+    """Full-batch −ELBO (utilities.py:471-493)."""
+    py, qf, qu, pu = model(x, key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y, unnormalized) - _gp_kl(model, qu, pu)
+    return -elbo
+
+
+def negative_elbo_batched(model, x, y, idx, key, E=20, unnormalized=True,
+                          **kwargs):
+    """Minibatch −ELBO (utilities.py:600-621): the GP is evaluated at
+    ``x[idx]`` only and the likelihood sees ``y[:, idx]``."""
+    py, qf, qu, pu = model.batched(x, idx, key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(model, qu, pu)
+    return -elbo
+
+
+def negative_elbo_hybrid(model, x, y, key, E=20, unnormalized=False, **kwargs):
+    """Full-batch hybrid −ELBO with the extra mean-field KL
+    (utilities.py:535-557)."""
+    py, qf1, qu, pu, qf2, pf2 = model(x, key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y, unnormalized) - _gp_kl(model, qu, pu)
+    elbo = elbo - jnp.sum(dists.kl_divergence(qf2, pf2))
+    return -elbo
+
+
+def negative_elbo_hybrid_batched(model, x, y, idx, key, E=20,
+                                 unnormalized=True, **kwargs):
+    """Minibatch hybrid −ELBO (utilities.py:498-526)."""
+    py, qf1, qu, pu, qf2, pf2 = model.batched(x, idx, key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(model, qu, pu)
+    elbo = elbo - jnp.sum(dists.kl_divergence(qf2, pf2))
+    return -elbo
+
+
+def pnmf_negative_elbo(model, y, key, E=20, unnormalized=False, **kwargs):
+    """PNMF −ELBO: no GP, KL is mean-field Normal-Normal
+    (PNMF_benchmarks.ipynb training cell)."""
+    py, qf, pf = model(key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y, unnormalized) - jnp.sum(
+        dists.kl_divergence(qf, pf)
+    )
+    return -elbo
+
+
+def pnmf_negative_elbo_batched(model, y, idx, key, E=20, unnormalized=True,
+                               **kwargs):
+    py, qf, pf = model.batched(idx, key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y[:, idx], unnormalized) - jnp.sum(
+        dists.kl_divergence(qf, pf)
+    )
+    return -elbo
+
+
+def gaussian_exact_negative_elbo(model, x, y, key=None, E=1, **kwargs):
+    """Analytic Gaussian ELBO for :class:`ExactLikelihood` — the sampled
+    expected-LL is replaced by ``log N(y | qF.mean, noise)`` with the
+    variance correction ``− Σ qF.scale² / (2·softplus(noise)²)``
+    (mggp_test_exact.ipynb (cell 8))."""
+    py, qf, qu, pu = model(x, key=key, E=E, **kwargs)
+    noise = softplus(model.noise_raw)
+    elbo = jnp.sum(py.log_prob(y))
+    elbo = elbo - jnp.sum(jnp.square(qf.scale)) / (2.0 * jnp.square(noise))
+    elbo = elbo - _gp_kl(model, qu, pu)
+    return -elbo
+
+
+def whitened_negative_elbo(model, x, y, key, E=20, **kwargs):
+    """Convenience −ELBO for whitened GPs under a Gaussian likelihood
+    (mggp_test.ipynb (cell 8)): sampled expected LL + whitened KL."""
+    py, qf, qu, pu = model(x, key=key, E=E, **kwargs)
+    elbo = _expected_ll(py, y, unnormalized=False)
+    elbo = elbo - jnp.sum(whitened_kl(qu.loc, qu.scale_tril))
+    return -elbo
+
+
+def posterior_nll(qf, y_latent):
+    """Gaussian negative log-likelihood of held-out latent values under the
+    marginal posterior qF — the parity harness's posterior-quality metric."""
+    return -jnp.sum(dists.Normal(qf.loc, qf.scale).log_prob(y_latent))

@@ -1,0 +1,226 @@
+"""Jitted training steps and reference-shaped training loops.
+
+The reference trains with a host Python loop issuing one op at a time
+(``utilities.py:471-632``). Here the entire step — minibatch index
+sampling, forward, ELBO, gradients, optimizer update, post-step projection
+— is one jitted function of an immutable :class:`TrainState`, and
+:func:`make_scan_runner` additionally fuses K steps into a single
+``lax.scan`` program so long runs pay one dispatch per chunk instead of per
+step.
+
+Reference idioms and their equivalents here:
+
+* ``requires_grad`` flipping (freezing Z / kernel hyperparams,
+  ``Slideseq_NSF_newest_version.ipynb (cell 25)``) →
+  :func:`trainable_mask` + :func:`partition_optimizer` (optax
+  ``multi_transform`` with ``set_to_zero`` on frozen leaves; no retracing).
+* post-step ``model.W.data.clamp_(min=0)`` (utilities.py:523-524, 623) →
+  :func:`clamp_nonnegative` passed as the step's ``project`` hook.
+* ``torch.multinomial(ones(N), B, replacement=False)`` (utilities.py:605)
+  → ``jax.random.choice(key, N, (B,), replace=False)`` *inside* the jitted
+  step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    model: Any
+    opt_state: Any
+    step: Any  # int32 scalar
+    key: Any  # PRNG key
+
+    @classmethod
+    def create(cls, model, optimizer, key):
+        return cls(
+            model=model,
+            opt_state=optimizer.init(model),
+            step=jnp.asarray(0, jnp.int32),
+            key=key,
+        )
+
+
+# --------------------------------------------------------------------------
+# Trainability masks (the `requires_grad` replacement)
+# --------------------------------------------------------------------------
+
+def _path_str(path):
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.GetAttrKey):
+            parts.append(p.name)
+        elif isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def trainable_mask(model, trainable: Callable[[str], bool]):
+    """Boolean pytree with the same structure as ``model``; ``trainable``
+    receives dotted paths like ``"prior.kernel.lengthscale"``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(trainable(_path_str(path))), model
+    )
+
+
+def partition_optimizer(optimizer, mask):
+    """Wrap ``optimizer`` so leaves masked False receive zero updates."""
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", mask
+    )
+    # Pass labels through a thunk: the labels pytree is model-shaped, and
+    # model dataclasses define __call__, which optax.multi_transform would
+    # otherwise mistake for a label-factory function.
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()},
+        lambda _params: labels,
+    )
+
+
+def clamp_nonnegative(model, field_names: Sequence[str] = ("W_raw", "W2_raw")):
+    """Clamp the named leaf fields to ≥ 0 (post-step projection replicating
+    utilities.py:523-524, 553-554, 623)."""
+    names = tuple(field_names)
+
+    def clamp(path, leaf):
+        if _path_str(path).split(".")[-1] in names:
+            return jnp.maximum(leaf, 0.0)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(clamp, model)
+
+
+# --------------------------------------------------------------------------
+# Step factories
+# --------------------------------------------------------------------------
+
+def make_train_step(loss_fn, optimizer, project=None, static_kwargs=None):
+    """Build a jitted ``step(state, *args) → (state, loss)``.
+
+    ``loss_fn(model, *args, key=subkey, **static_kwargs)`` must be a pure
+    scalar loss. ``project`` (optional) maps the updated model to a
+    projected model (e.g. :func:`clamp_nonnegative`).
+    """
+    static_kwargs = dict(static_kwargs or {})
+
+    @jax.jit
+    def step(state, *args):
+        next_key, sub = jax.random.split(state.key)
+        loss, grads = jax.value_and_grad(
+            lambda m: loss_fn(m, *args, key=sub, **static_kwargs)
+        )(state.model)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.model)
+        model = optax.apply_updates(state.model, updates)
+        if project is not None:
+            model = project(model)
+        return (
+            state.replace(
+                model=model, opt_state=opt_state, step=state.step + 1,
+                key=next_key,
+            ),
+            loss,
+        )
+
+    return step
+
+
+def make_batched_train_step(loss_fn, optimizer, num_points, batch_size,
+                            project=None, static_kwargs=None):
+    """Like :func:`make_train_step`, but samples a without-replacement
+    minibatch index vector inside the step (utilities.py:605) and passes it
+    as ``loss_fn(model, *args, idx=idx, key=subkey, ...)``."""
+    static_kwargs = dict(static_kwargs or {})
+
+    @jax.jit
+    def step(state, *args):
+        next_key, k_idx, k_sample = jax.random.split(state.key, 3)
+        idx = jax.random.choice(
+            k_idx, num_points, shape=(batch_size,), replace=False
+        )
+        loss, grads = jax.value_and_grad(
+            lambda m: loss_fn(m, *args, idx=idx, key=k_sample,
+                              **static_kwargs)
+        )(state.model)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.model)
+        model = optax.apply_updates(state.model, updates)
+        if project is not None:
+            model = project(model)
+        return (
+            state.replace(
+                model=model, opt_state=opt_state, step=state.step + 1,
+                key=next_key,
+            ),
+            loss,
+        )
+
+    return step
+
+
+def make_scan_runner(step_fn, chunk_size):
+    """Fuse ``chunk_size`` applications of a step into one compiled
+    ``lax.scan`` program: ``runner(state, *args) → (state, losses[chunk])``.
+
+    This is the TPU-throughput path: one dispatch and one host sync per
+    chunk. ``step_fn`` must be the *unjitted* shape ``(state, *args) →
+    (state, loss)`` (the functions returned by the factories above work —
+    nesting jit is harmless)."""
+
+    @jax.jit
+    def runner(state, *args):
+        def body(carry, _):
+            new_state, loss = step_fn(carry, *args)
+            return new_state, loss
+
+        return jax.lax.scan(body, state, None, length=chunk_size)
+
+    return runner
+
+
+# --------------------------------------------------------------------------
+# Reference-shaped loops (host-driven, loss history returned)
+# --------------------------------------------------------------------------
+
+def _run_loop(step, state, args, steps):
+    losses = []
+    for _ in range(steps):
+        state, loss = step(state, *args)
+        losses.append(loss)
+    return state, [float(l) for l in jax.device_get(losses)]
+
+
+def train(state, optimizer_step, x, y, steps=200):
+    """Full-batch loop (utilities.py:471-493): ``optimizer_step`` from
+    :func:`make_train_step` over :func:`gpzoo_tpu.train.elbo.negative_elbo`."""
+    return _run_loop(optimizer_step, state, (x, y), steps)
+
+
+def train_batched(state, optimizer_step, x, y, steps=200):
+    """Minibatch loop (utilities.py:600-632): ``optimizer_step`` from
+    :func:`make_batched_train_step`; index sampling happens on-device."""
+    return _run_loop(optimizer_step, state, (x, y), steps)
+
+
+train_hybrid = train
+train_hybrid_batched = train_batched
+
+
+def train_closure_batched(state, optimizer_step, x, y, steps=200):
+    """Reference ``train_closure_batched`` (utilities.py:566-596) exists to
+    serve closure-style optimizers (LBFGS). optax's LBFGS consumes plain
+    ``(value, grad)`` pairs, so the same jitted step shape works; this alias
+    documents the mapping."""
+    return _run_loop(optimizer_step, state, (x, y), steps)

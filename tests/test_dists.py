@@ -1,0 +1,112 @@
+"""Distribution log-probs / KLs validated against torch.distributions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from gpzoo_tpu import dists  # noqa: E402
+
+
+def _t(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float64)
+
+
+def test_normal_log_prob(rng):
+    loc = rng.standard_normal((3, 5))
+    scale = rng.uniform(0.5, 2.0, (3, 5))
+    x = rng.standard_normal((3, 5))
+    got = dists.Normal(jnp.asarray(loc), jnp.asarray(scale)).log_prob(
+        jnp.asarray(x)
+    )
+    expect = torch.distributions.Normal(_t(loc), _t(scale)).log_prob(_t(x))
+    np.testing.assert_allclose(np.asarray(got), expect.numpy(), rtol=1e-9)
+
+
+def test_mvn_log_prob(rng):
+    m = 4
+    loc = rng.standard_normal(m)
+    a = rng.standard_normal((m, m)) * 0.5
+    tril = np.tril(a, -1) + np.diag(np.exp(np.diag(a)))
+    x = rng.standard_normal(m)
+    got = dists.MultivariateNormalTril(
+        jnp.asarray(loc), jnp.asarray(tril)
+    ).log_prob(jnp.asarray(x))
+    expect = torch.distributions.MultivariateNormal(
+        _t(loc), scale_tril=_t(tril)
+    ).log_prob(_t(x))
+    assert float(got) == pytest.approx(float(expect), rel=1e-9)
+
+
+def test_poisson_log_prob(rng):
+    rate = rng.uniform(0.1, 10.0, (4, 6))
+    x = rng.poisson(rate).astype(np.float64)
+    got = dists.Poisson(jnp.asarray(rate)).log_prob(jnp.asarray(x))
+    expect = torch.distributions.Poisson(_t(rate)).log_prob(_t(x))
+    np.testing.assert_allclose(np.asarray(got), expect.numpy(), rtol=1e-8)
+
+
+def test_poisson_unnormalized_matches_reference_convention(rng):
+    rate = rng.uniform(0.1, 10.0, (4, 6))
+    x = rng.poisson(rate).astype(np.float64)
+    got = dists.Poisson(jnp.asarray(rate)).unnormalized_log_prob(
+        jnp.asarray(x)
+    )
+    expect = x * np.log(rate) - rate  # utilities.py:611
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-9)
+
+
+def test_kl_normal_normal(rng):
+    q = dists.Normal(
+        jnp.asarray(rng.standard_normal((2, 3))),
+        jnp.asarray(rng.uniform(0.5, 2.0, (2, 3))),
+    )
+    p = dists.Normal(
+        jnp.asarray(rng.standard_normal((2, 3))),
+        jnp.asarray(rng.uniform(0.5, 2.0, (2, 3))),
+    )
+    got = dists.kl_divergence(q, p)
+    expect = torch.distributions.kl_divergence(
+        torch.distributions.Normal(_t(q.loc), _t(q.scale)),
+        torch.distributions.Normal(_t(p.loc), _t(p.scale)),
+    )
+    np.testing.assert_allclose(np.asarray(got), expect.numpy(), rtol=1e-9)
+
+
+def test_kl_mvn_mvn_broadcast(rng):
+    """q unbatched, p batched over L — the SVGP qU/pU shape pattern
+    (gp.py:229-230)."""
+    m, L = 4, 3
+    mu = rng.standard_normal(m)
+    a = rng.standard_normal((m, m)) * 0.4
+    lu = np.tril(a, -1) + np.diag(np.exp(np.diag(a)))
+    lp = np.tril(rng.standard_normal((L, m, m)) * 0.3) + 2 * np.eye(m)
+
+    q = dists.MultivariateNormalTril(jnp.asarray(mu), jnp.asarray(lu))
+    p = dists.MultivariateNormalTril(jnp.zeros(m), jnp.asarray(lp))
+    got = dists.kl_divergence(q, p)
+    assert got.shape == (L,)
+
+    tq = torch.distributions.MultivariateNormal(_t(mu), scale_tril=_t(lu))
+    tp = torch.distributions.MultivariateNormal(
+        torch.zeros(m, dtype=torch.float64), scale_tril=_t(lp)
+    )
+    expect = torch.distributions.kl_divergence(tq, tp)
+    np.testing.assert_allclose(np.asarray(got), expect.numpy(), rtol=1e-8)
+
+
+def test_normal_sample_moments(key):
+    d = dists.Normal(jnp.asarray(2.0), jnp.asarray(3.0))
+    s = d.sample(key, (200_000,))
+    assert float(jnp.mean(s)) == pytest.approx(2.0, abs=0.05)
+    assert float(jnp.std(s)) == pytest.approx(3.0, abs=0.05)
+
+
+def test_mvn_sample_covariance(key, rng):
+    m = 3
+    tril = np.tril(rng.standard_normal((m, m))) + 2 * np.eye(m)
+    d = dists.MultivariateNormalTril(jnp.zeros(m), jnp.asarray(tril))
+    s = np.asarray(d.sample(key, (400_000,)))
+    np.testing.assert_allclose(np.cov(s.T), tril @ tril.T, atol=0.1)

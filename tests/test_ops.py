@@ -1,0 +1,138 @@
+"""Unit tests for L0 math: distances, jitter, svgp_forward, whitened KL,
+MDS embedding, bijectors — against hand-computed values and numpy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpzoo_tpu import bijectors
+from gpzoo_tpu.ops import (
+    add_jitter,
+    cdist,
+    embed_distance_matrix,
+    safe_sqrt,
+    squared_dist,
+    svgp_forward,
+    whitened_kl,
+)
+
+
+def test_squared_dist_matches_numpy(rng):
+    x = rng.standard_normal((7, 3))
+    z = rng.standard_normal((5, 3))
+    d2 = squared_dist(jnp.asarray(x), jnp.asarray(z))
+    expect = ((x[:, None, :] - z[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), expect, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(cdist(jnp.asarray(x), jnp.asarray(z))),
+        np.sqrt(expect),
+        rtol=1e-8,
+    )
+
+
+def test_squared_dist_clamps_negative():
+    x = jnp.ones((4, 2))
+    d2 = squared_dist(x, x)
+    assert np.all(np.asarray(d2) >= 0.0)
+
+
+def test_add_jitter_2d_and_3d():
+    k = jnp.ones((3, 3))
+    out = add_jitter(k, 0.5)
+    np.testing.assert_allclose(np.diag(np.asarray(out)), 1.5)
+    assert np.asarray(out)[0, 1] == 1.0
+
+    kb = jnp.ones((2, 3, 3))
+    outb = add_jitter(kb, 0.25)
+    np.testing.assert_allclose(
+        np.asarray(outb)[:, np.arange(3), np.arange(3)], 1.25
+    )
+
+
+def test_svgp_forward_shapes_and_values(rng):
+    L, N, M = 2, 6, 4
+    kxx = rng.standard_normal((L, N))
+    kzz = rng.standard_normal((L, M, M))
+    w = rng.standard_normal((L, N, M))
+    mu = rng.standard_normal((M,))
+    s = rng.standard_normal((L, M, M))
+    mean, cov = svgp_forward(*map(jnp.asarray, (kxx, kzz, w, mu, s)))
+    expect_mean = np.einsum("lnm,m->ln", w, mu)
+    diff = s - kzz
+    expect_cov = kxx + np.einsum("lnm,lmk,lnk->ln", w, diff, w)
+    np.testing.assert_allclose(np.asarray(mean), expect_mean, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov), expect_cov, rtol=1e-8)
+
+
+def test_whitened_kl_closed_form(rng):
+    """KL(N(m, LLᵀ) ‖ N(0,I)) cross-checked against the generic MVN KL."""
+    m = 5
+    mz = rng.standard_normal(m)
+    a = rng.standard_normal((m, m)) * 0.3
+    lz = np.tril(a, -1) + np.diag(np.exp(np.diag(a)))
+    got = float(whitened_kl(jnp.asarray(mz), jnp.asarray(lz)))
+
+    from gpzoo_tpu import dists
+
+    q = dists.MultivariateNormalTril(jnp.asarray(mz), jnp.asarray(lz))
+    p = dists.MultivariateNormalTril(jnp.zeros(m), jnp.eye(m))
+    expect = float(dists.kl_divergence(q, p))
+    assert got == pytest.approx(expect, rel=1e-8)
+
+
+def test_whitened_kl_batched(rng):
+    mz = rng.standard_normal((3, 4))
+    lz = np.tril(rng.standard_normal((3, 4, 4))) + 2 * np.eye(4)
+    out = whitened_kl(jnp.asarray(mz), jnp.asarray(lz))
+    assert out.shape == (3,)
+    one = float(whitened_kl(jnp.asarray(mz[1]), jnp.asarray(lz[1])))
+    assert float(out[1]) == pytest.approx(one, rel=1e-10)
+
+
+def test_embed_distance_matrix_reproduces_distances():
+    """MDS of the complete graph: embedding distances ≈ input distances."""
+    n = 4
+    d = np.ones((n, n)) - np.eye(n)
+    emb = np.asarray(embed_distance_matrix(jnp.asarray(d)))
+    rec = np.sqrt(
+        np.maximum(
+            ((emb[:, None, :] - emb[None, :, :]) ** 2).sum(-1), 0.0
+        )
+    )
+    np.testing.assert_allclose(rec, d, atol=2e-3)
+
+
+def test_safe_sqrt_gradient_finite():
+    g = jax.grad(lambda x: safe_sqrt(x))(0.0)
+    assert np.isfinite(float(g))
+
+
+def test_lower_cholesky_bijector_roundtrip(rng):
+    raw = rng.standard_normal((4, 4))
+    chol = bijectors.lower_cholesky(jnp.asarray(raw))
+    c = np.asarray(chol)
+    assert np.allclose(c, np.tril(c))
+    assert np.all(np.diag(c) > 0)
+    back = bijectors.lower_cholesky_inverse(chol)
+    np.testing.assert_allclose(
+        np.asarray(bijectors.lower_cholesky(back)), c, rtol=1e-10
+    )
+
+
+def test_softplus_inverse_roundtrip():
+    y = jnp.asarray([0.1, 1.0, 5.0, 30.0])
+    x = bijectors.softplus_inverse(y)
+    np.testing.assert_allclose(
+        np.asarray(bijectors.softplus(x)), np.asarray(y), rtol=1e-6
+    )
+
+
+def test_init_softplus_matches_reference_semantics():
+    mat = np.array([0.5, 1.0, 25.0])
+    out = bijectors.init_softplus(mat)
+    # values < 20 inverted, >= 20 passed through
+    np.testing.assert_allclose(
+        np.log(np.exp(0.5) - 1 + 1e-5), out[0], rtol=1e-10
+    )
+    assert out[2] == 25.0
