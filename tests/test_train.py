@@ -1,0 +1,178 @@
+"""Training-layer behavior: optimization progress, freeze masks, the W
+clamp projection, scan fusion, and deterministic checkpoint/resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import gpzoo_tpu as gz
+from gpzoo_tpu.train import (
+    TrainState,
+    clamp_nonnegative,
+    make_batched_train_step,
+    make_scan_runner,
+    make_train_step,
+    negative_elbo,
+    negative_elbo_batched,
+    negative_elbo_hybrid,
+    pnmf_negative_elbo,
+    partition_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+    trainable_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def nsf_data():
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=300, D=15, L=4)
+    return jnp.asarray(coords), jnp.asarray(counts)
+
+
+def _build(key, X, **kw):
+    cfg = gz.NSFConfig(D=15, N=300, L=4, M=24, **kw)
+    return cfg.build(key, X=X)
+
+
+def test_full_batch_training_decreases_loss(key, nsf_data):
+    X, Y = nsf_data
+    model = _build(key, X)
+    opt = optax.adam(5e-3)
+    state = TrainState.create(model, opt, key)
+    step = make_train_step(negative_elbo, opt, static_kwargs={"E": 3})
+    first = None
+    for _ in range(150):
+        state, loss = step(state, X, Y)
+        first = first if first is not None else float(loss)
+    assert float(loss) < 0.25 * first
+
+
+def test_freeze_mask_keeps_leaves_fixed(key, nsf_data):
+    X, Y = nsf_data
+    model = _build(key, X)
+    mask = trainable_mask(
+        model, lambda p: not (p.endswith(".Z") or "kernel" in p)
+    )
+    opt = partition_optimizer(optax.adam(1e-2), mask)
+    state = TrainState.create(model, opt, key)
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=300, batch_size=64,
+        static_kwargs={"E": 1},
+    )
+    for _ in range(5):
+        state, _ = step(state, X, Y)
+    assert np.array_equal(np.asarray(state.model.prior.Z),
+                          np.asarray(model.prior.Z))
+    assert np.array_equal(np.asarray(state.model.prior.kernel.lengthscale),
+                          np.asarray(model.prior.kernel.lengthscale))
+    assert not np.array_equal(np.asarray(state.model.prior.mu),
+                              np.asarray(model.prior.mu))
+
+
+def test_clamp_nonnegative_projection(key, nsf_data):
+    X, _ = nsf_data
+    model = _build(key, X)
+    model = model.replace(W_raw=model.W_raw - 10.0)  # make negative
+    clamped = clamp_nonnegative(model)
+    assert float(jnp.min(clamped.W_raw)) >= 0.0
+    # other leaves untouched
+    np.testing.assert_array_equal(np.asarray(clamped.V_raw),
+                                  np.asarray(model.V_raw))
+
+
+def test_scan_runner_matches_stepwise(key, nsf_data):
+    X, Y = nsf_data
+    model = _build(key, X)
+    opt = optax.adam(1e-3)
+    step = make_train_step(negative_elbo, opt, static_kwargs={"E": 1})
+
+    s1 = TrainState.create(model, opt, key)
+    losses = []
+    for _ in range(4):
+        s1, l = step(s1, X, Y)
+        losses.append(float(l))
+
+    runner = make_scan_runner(step, 4)
+    s2, scan_losses = runner(TrainState.create(model, opt, key), X, Y)
+    np.testing.assert_allclose(np.asarray(scan_losses), losses, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.model.W_raw),
+                               np.asarray(s1.model.W_raw), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_deterministic(tmp_path, key, nsf_data):
+    X, Y = nsf_data
+    model = _build(key, X)
+    opt = optax.adam(1e-3)
+    state = TrainState.create(model, opt, key)
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=300, batch_size=64,
+        static_kwargs={"E": 1},
+    )
+    for _ in range(3):
+        state, _ = step(state, X, Y)
+
+    path = save_checkpoint(str(tmp_path / "ck.msgpack"), state)
+    restored = restore_checkpoint(path, TrainState.create(model, opt, key))
+    assert int(restored.step) == 3
+    _, la = step(state, X, Y)
+    _, lb = step(restored, X, Y)
+    assert float(la) == float(lb)
+
+
+def test_pnmf_training(key):
+    rng = np.random.default_rng(1)
+    D, N, L = 12, 200, 3
+    y = jnp.asarray(rng.poisson(3.0, (D, N)).astype(np.float64))
+    cfg = gz.PNMFConfig(D=D, N=N, L=L)
+    model = cfg.build(key)
+    opt = cfg.optimizer()
+    state = TrainState.create(model, opt, key)
+
+    def loss_fn(m, y, key):
+        return pnmf_negative_elbo(m, y, key, E=3)
+
+    step = make_train_step(loss_fn, opt)
+    first = None
+    for _ in range(100):
+        state, loss = step(state, y)
+        first = first if first is not None else float(loss)
+    assert float(loss) < first
+
+
+def test_hybrid_training_runs(key, nsf_data):
+    X, Y = nsf_data
+    k1, k2, k3 = jax.random.split(key, 3)
+    kernel = gz.kernels.NSFRBF.create(L=2, lengthscale=1.0)
+    gp = gz.gps.SVGP.create(k1, kernel, dim=2, M=16, jitter=1e-1)
+    prior = gz.gps.GaussianPrior.create(k2, N=300, L=3)
+    model = gz.models.HybridNSF.create(k3, gp, prior, D=15, N=300, L=2, T=3)
+    opt = optax.adam(1e-2)
+    state = TrainState.create(model, opt, key)
+    step = make_train_step(negative_elbo_hybrid, opt,
+                           static_kwargs={"E": 2})
+    first = None
+    for _ in range(30):
+        state, loss = step(state, X, Y)
+        first = first if first is not None else float(loss)
+    assert np.isfinite(float(loss)) and float(loss) < first
+
+
+def test_vnngp_training_runs(key):
+    x, y = gz.data.simulate_1d_regression(n=500)
+    k1, k2 = jax.random.split(key)
+    kernel = gz.kernels.NSFRBF.create(L=1, sigma=1.0, lengthscale=1.0)
+    gp = gz.gps.VNNGP.create(k1, kernel, dim=1, M=50, K=4, jitter=1e-2)
+    gp = gp.replace(mu=jnp.zeros((1, 50)),
+                    Lu_raw=jax.random.normal(k2, (1, 50, 50)) * 0.1)
+    model = gz.models.GaussianLikelihood.create(gp, noise=0.5)
+    opt = optax.adam(1e-2)
+    state = TrainState.create(model, opt, key)
+    step = make_train_step(negative_elbo, opt, static_kwargs={"E": 3})
+    X, Yj = jnp.asarray(x), jnp.asarray(y)
+    first = None
+    for _ in range(60):
+        state, loss = step(state, X, Yj)
+        first = first if first is not None else float(loss)
+    assert np.isfinite(float(loss)) and float(loss) < first
