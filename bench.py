@@ -1,0 +1,133 @@
+"""North-star benchmark: Slideseq-V2-scale NSF training steps/sec.
+
+Workload (BASELINE.json / Slideseq_NSF_newest_version.ipynb): ~45k spots,
+4k genes, L=20 factors, M=3000 inducing points, minibatch 7000, E=1,
+unnormalized Poisson ELBO, Z frozen. Data is synthetic at identical shapes
+(the squidpy dataset isn't available offline); per-step cost is
+shape-determined, not value-determined.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/s, "unit": "steps/s", "vs_baseline": r}
+
+``vs_baseline`` is measured against the PyTorch reference executing its own
+training step on this machine's CPU (benchmarks/reference_baseline.json,
+produced by benchmarks/measure_torch_reference.py) — the anchoring run
+BASELINE.md requires because the reference never recorded this workload's
+wall time.
+
+Usage: python bench.py [--quick] [--steps-per-chunk K] [--chunks C]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import gpzoo_tpu as gz
+    from gpzoo_tpu.train import (
+        TrainState,
+        make_batched_train_step,
+        make_scan_runner,
+        negative_elbo_batched,
+        partition_optimizer,
+        trainable_mask,
+    )
+
+    key = jax.random.PRNGKey(0)
+    log(f"devices: {jax.devices()}")
+    log(f"building synthetic data N={N} D={D} L={L} M={M} batch={batch}")
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
+    counts = rng.poisson(3.0, size=(D, N)).astype(np.float32)
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+
+    cfg = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, batch_size=batch,
+                               jitter=jitter)
+    model = cfg.build(key, x)
+
+    mask = trainable_mask(model, cfg.trainable)
+    opt = partition_optimizer(cfg.optimizer(), mask)
+    state = TrainState.create(model, opt, key)
+
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=N, batch_size=batch,
+        static_kwargs={"E": cfg.E},
+    )
+    runner = make_scan_runner(step, chunk)
+
+    log("compiling + warmup chunk ...")
+    t0 = time.perf_counter()
+    state, losses = runner(state, x, y)
+    jax.block_until_ready(losses)
+    log(f"warmup chunk ({chunk} steps): {time.perf_counter()-t0:.1f}s, "
+        f"loss[0]={float(losses[0]):.3e} loss[-1]={float(losses[-1]):.3e}")
+    assert np.all(np.isfinite(np.asarray(losses))), "non-finite losses"
+
+    times = []
+    for c in range(chunks):
+        t0 = time.perf_counter()
+        state, losses = runner(state, x, y)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        log(f"chunk {c}: {dt:.3f}s → {chunk/dt:.2f} steps/s "
+            f"(loss {float(losses[-1]):.3e})")
+    best = chunk / min(times)
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="small shapes (CI / smoke)")
+    p.add_argument("--steps-per-chunk", type=int, default=20)
+    p.add_argument("--chunks", type=int, default=3)
+    args = p.parse_args()
+
+    if args.quick:
+        shapes = dict(N=2000, D=100, L=20, M=256, batch=512)
+        metric = "slideseq_nsf_quick_steps_per_sec"
+    else:
+        shapes = dict(N=45_000, D=4_000, L=20, M=3_000, batch=7_000)
+        metric = "slideseq_nsf_steps_per_sec"
+
+    value = run_nsf_bench(**shapes, chunk=args.steps_per_chunk,
+                          chunks=args.chunks)
+
+    vs_baseline = None
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "reference_baseline.json")
+    if not args.quick and os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        base = ref.get("slideseq_nsf_steps_per_sec")
+        if base:
+            vs_baseline = value / base
+            log(f"reference (torch CPU, this host): {base:.4f} steps/s "
+                f"→ speedup {vs_baseline:.1f}x")
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,9 +77,40 @@ class MGGPRBF:
         return jnp.broadcast_to(var[:, None], (var.shape[0], n))
 
     def gram(self, x, z, groups_x=None, groups_z=None):
+        out = self._gram_pallas(x, z, groups_x, groups_z)
+        if out is not None:
+            return out
         d2 = squared_dist(x, z)
         g2 = squared_dist(self.embedding[groups_x], self.embedding[groups_z])
         return self._combine(d2, g2)
+
+    def _gram_pallas(self, x, z, groups_x, groups_z):
+        """Fused Pallas path: in-VMEM double-distance + per-L epilogue."""
+        from gpzoo_tpu.ops import gram_pallas
+
+        if not gram_pallas.enabled_for(
+            x.shape[0], z.shape[0],
+            max(x.shape[-1], self.embedding.shape[-1]),
+            jnp.result_type(x),
+        ):
+            return None
+        sigma = jnp.asarray(self.sigma).reshape(-1)
+        ell = jnp.asarray(self.lengthscale).reshape(-1)
+        alpha = self.convention.apply(
+            jnp.asarray(self.group_diff_param)
+        ).reshape(-1)
+        L = max(sigma.shape[0], ell.shape[0], alpha.shape[0])
+        scalar = jnp.asarray(self.sigma).ndim == 0
+        ex = self.embedding[groups_x].astype(x.dtype)
+        ez = self.embedding[groups_z].astype(x.dtype)
+        out = gram_pallas.mggp_gram(
+            x, z, ex, ez,
+            jnp.broadcast_to(sigma, (L,)),
+            jnp.broadcast_to(ell, (L,)),
+            jnp.broadcast_to(alpha, (L,)),
+            self.input_dim,
+        )
+        return out[0] if scalar else out
 
     def gram_and_distance(self, x, z, groups_x=None, groups_z=None):
         d2 = squared_dist(x, z)

@@ -67,7 +67,31 @@ class RBF:
         return jnp.broadcast_to(var[:, None], (var.shape[0], n))
 
     def gram(self, x, z, groups_x=None, groups_z=None):
+        out = self._gram_pallas(x, z)
+        if out is not None:
+            return out
         return self.gram_from_squared_dist(self._d2(x, z))
+
+    def _gram_pallas(self, x, z):
+        """Fused Pallas path (ops.gram_pallas) when shapes/backend qualify;
+        returns None to fall back to the XLA path."""
+        from gpzoo_tpu.ops import gram_pallas
+
+        if not gram_pallas.enabled_for(
+            x.shape[0], z.shape[0], x.shape[-1], jnp.result_type(x)
+        ):
+            return None
+        sigma = jnp.asarray(self.sigma).reshape(-1)
+        ell = jnp.asarray(self.lengthscale).reshape(-1)
+        L = max(sigma.shape[0], ell.shape[0])
+        scalar = (
+            jnp.asarray(self.sigma).ndim == 0
+            and jnp.asarray(self.lengthscale).ndim == 0
+        )
+        out = gram_pallas.rbf_gram(
+            x, z, jnp.broadcast_to(sigma, (L,)), jnp.broadcast_to(ell, (L,))
+        )
+        return out[0] if scalar else out
 
     def gram_and_distance(self, x, z, groups_x=None, groups_z=None):
         """Gram plus the raw distance matrix, for VNNGP neighbor search
