@@ -64,11 +64,17 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
     opt = partition_optimizer(cfg.optimizer(), mask)
     state = TrainState.create(model, opt, key)
 
+    # Blockwise fast path: Cholesky/KL hoisted, spot axis processed in
+    # microbatches under remat — the monolithic step's solve backward needs
+    # ~29 GB of temps at this scale (2x one chip's HBM).
+    from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
+
+    micro = batch // 7 if batch % 7 == 0 else batch
     step = make_batched_train_step(
-        negative_elbo_batched, opt, num_points=N, batch_size=batch,
-        static_kwargs={"E": cfg.E},
+        nsf_negative_elbo_batched, opt, num_points=N, batch_size=batch,
+        static_kwargs={"E": cfg.E, "microbatch": micro},
     )
-    runner = make_scan_runner(step, chunk)
+    runner = make_scan_runner(step, chunk, donate=True)
 
     log("compiling + warmup chunk ...")
     t0 = time.perf_counter()

@@ -33,7 +33,18 @@ exactly where the reference is internally consistent, and are centralized in
 
 __version__ = "0.1.0"
 
-from gpzoo_tpu import bijectors, dists, kernels, gps, models, ops, train, data, parallel
+from gpzoo_tpu import (
+    bijectors,
+    dists,
+    kernels,
+    gps,
+    models,
+    ops,
+    train,
+    data,
+    parallel,
+    utils,
+)
 from gpzoo_tpu.configs import (
     SVGPRegressionConfig,
     PNMFConfig,
@@ -53,6 +64,7 @@ __all__ = [
     "train",
     "data",
     "parallel",
+    "utils",
     "SVGPRegressionConfig",
     "PNMFConfig",
     "NSFConfig",

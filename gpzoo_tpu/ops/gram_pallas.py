@@ -33,9 +33,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Flip to False to force the pure-XLA path everywhere (e.g. for A/B
-# benchmarks); tests also exercise the kernels via interpret mode.
-ENABLED = True
+# Default OFF: on-device A/B at the north-star Gram shape (L=20, M=3000,
+# B=7000, TPU v5e) measured XLA at 4.0 ms vs this kernel at 9.1 ms — XLA's
+# cdist+exp fusion is already within ~2x of the HBM write floor, and the
+# custom-VJP residual doubles live memory in the training step. The kernel
+# is kept (correct, tested, differentiable) as the substrate for future
+# tile tuning; flip to True or call rbf_gram/mggp_gram directly to use it.
+ENABLED = False
 
 _TILE_N = 256
 _TILE_M = 256

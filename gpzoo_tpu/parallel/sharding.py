@@ -19,10 +19,14 @@ moves between chips.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gpzoo_tpu.train.loop import _value_and_grad
 
 
 def replicate(mesh, tree):
@@ -41,7 +45,8 @@ def shard_columns(mesh, array, axis_name="data"):
 
 def make_sharded_batched_train_step(loss_fn, optimizer, num_points,
                                     batch_size, mesh, axis_name="data",
-                                    project=None, static_kwargs=None):
+                                    project=None, static_kwargs=None,
+                                    donate=False):
     """Sharded analog of
     :func:`gpzoo_tpu.train.loop.make_batched_train_step`.
 
@@ -58,17 +63,18 @@ def make_sharded_batched_train_step(loss_fn, optimizer, num_points,
         )
     idx_sharding = NamedSharding(mesh, P(axis_name))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state, *args):
         next_key, k_idx, k_sample = jax.random.split(state.key, 3)
         idx = jax.random.choice(
             k_idx, num_points, shape=(batch_size,), replace=False
         )
         idx = jax.lax.with_sharding_constraint(idx, idx_sharding)
-        loss, grads = jax.value_and_grad(
+        loss, grads = _value_and_grad(
             lambda m: loss_fn(m, *args, idx=idx, key=k_sample,
-                              **static_kwargs)
-        )(state.model)
+                              **static_kwargs),
+            state.model,
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.model)
         model = optax.apply_updates(state.model, updates)

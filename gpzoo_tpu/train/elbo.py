@@ -18,6 +18,7 @@ reference relies on are preserved:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gpzoo_tpu import dists
@@ -49,10 +50,21 @@ def negative_elbo(model, x, y, key, E=20, unnormalized=False, **kwargs):
 
 
 def negative_elbo_batched(model, x, y, idx, key, E=20, unnormalized=True,
-                          **kwargs):
+                          remat=False, **kwargs):
     """Minibatch −ELBO (utilities.py:600-621): the GP is evaluated at
-    ``x[idx]`` only and the likelihood sees ``y[:, idx]``."""
-    py, qf, qu, pu = model.batched(x, idx, key=key, E=E, **kwargs)
+    ``x[idx]`` only and the likelihood sees ``y[:, idx]``.
+
+    ``remat=True`` rematerializes the model forward in the backward pass
+    (``jax.checkpoint``): the L×M×B Gram/solve intermediates are recomputed
+    instead of stored, trading ~1 extra forward of FLOPs for the several
+    (L, B, M)-sized residuals that otherwise dominate HBM at Slideseq scale
+    (the north-star step drops from ~30 GB of temps to well under one
+    chip's HBM).
+    """
+    fwd = lambda m: m.batched(x, idx, key=key, E=E, **kwargs)  # noqa: E731
+    if remat:
+        fwd = jax.checkpoint(fwd)
+    py, qf, qu, pu = fwd(model)
     elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(model, qu, pu)
     return -elbo
 

@@ -1,0 +1,135 @@
+"""Production fast path for the NSF minibatch ELBO.
+
+The generic :func:`gpzoo_tpu.train.elbo.negative_elbo_batched` evaluates
+the GP on the whole minibatch at once; at Slideseq scale
+(L=20, M=3000, B=7000) the backward pass of the (L, M, B) Cholesky solve
+keeps ~29 GB of temporaries — twice one chip's HBM, even with remat.
+
+This module computes the *identical* loss blockwise over the spot axis
+(SURVEY.md §5's "sequence-parallel" strategy): the per-minibatch-independent
+work (Kzz, its Cholesky, S = Lu Luᵀ, the KL) is hoisted out, and a
+``lax.scan`` over micro-batches computes each chunk's Gram columns, solves
+and Poisson log-likelihood under ``jax.checkpoint`` — peak live memory is
+one micro-batch's worth of (L, M, mb) tensors, and the backward re-derives
+each chunk independently.
+
+Bit-compatibility with the generic path: the E reparameterization draws are
+generated once for the full batch with the same key and shape the generic
+path uses (``Normal.sample(key, (E,))`` → ``normal(key, (E, L, B))``), then
+sliced per chunk — so loss values match the monolithic computation to
+floating-point reassociation tolerance (asserted in tests/test_fast.py).
+
+Supports the flagship :class:`gpzoo_tpu.models.NSF` head over an
+(un)whitened SVGP prior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpzoo_tpu import dists
+from gpzoo_tpu.bijectors import lower_cholesky, softplus
+from gpzoo_tpu.gps.svgp import SVGP, WSVGP
+from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
+
+
+def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
+                              unnormalized=True, microbatch=1024):
+    """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
+    ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
+
+    ``microbatch`` is the spot-axis block size; the minibatch is processed
+    in ``ceil(B / microbatch)`` chunks (B padded virtually by clamping is
+    NOT done — B must be divisible by microbatch; pick e.g. 7000 = 7×1000).
+    """
+    gp = model.prior
+    whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
+    b = idx.shape[0]
+    if b % microbatch:
+        raise ValueError(f"batch {b} not divisible by microbatch {microbatch}")
+    nc = b // microbatch
+
+    kernel = gp.kernel
+    kzz = add_jitter(kernel.gram(gp.Z, gp.Z), gp.jitter)
+    lzz = jnp.linalg.cholesky(kzz)
+    lu = lower_cholesky(gp.Lu_raw)
+
+    # KL term — batch-independent (utilities.py:616 keeps it unscaled).
+    qu = dists.MultivariateNormalTril(gp.mu, lu)
+    if whitened:
+        kl = jnp.sum(whitened_kl(gp.mu, lu))
+        s = None
+    else:
+        pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
+        kl = jnp.sum(dists.kl_divergence(qu, pu))
+        s = jnp.einsum("...ij,...kj->...ik", lu, lu)
+
+    # One reparameterization draw for the whole batch, sliced per chunk —
+    # bit-identical to Normal.sample(key, (E,)) on the full (L, B) marginal.
+    mu = gp.mu
+    kxx_probe = kernel.diag(x[:1])  # shape probe: is the kernel L-batched?
+    if kxx_probe.ndim == 2:
+        eps_shape = (E, kxx_probe.shape[0], b)
+    else:
+        eps_shape = (E, b)
+    # dtype must match Normal.sample's (result_type of the marginal loc)
+    # for the draws to be bit-identical to the generic path.
+    eps_dtype = jnp.result_type(x.dtype, jnp.asarray(mu).dtype,
+                                kxx_probe.dtype)
+    eps = jax.random.normal(key, eps_shape, dtype=eps_dtype)
+
+    w_sp = softplus(model.W_raw)  # (D, L)
+    v_sp = softplus(model.V_raw[idx])  # (B,)
+    y_batch = y[:, idx]  # (D, B)
+    x_batch = x[idx]  # (B, dim)
+
+    # chunked axes → scan inputs
+    def chunk(a, axis):
+        return jnp.moveaxis(
+            a.reshape(a.shape[:axis] + (nc, microbatch) + a.shape[axis + 1:]),
+            axis, 0,
+        )
+
+    xs = (
+        chunk(x_batch, 0),  # (nc, mb, dim)
+        chunk(eps, eps.ndim - 1),  # (nc, E, L, mb) / (nc, E, mb)
+        chunk(v_sp, 0),  # (nc, mb)
+        chunk(y_batch, 1),  # (nc, D, mb)
+    )
+
+    @jax.checkpoint
+    def chunk_ll(xc, epsc, vc, yc):
+        kxx = kernel.diag(xc)  # (L, mb) / (mb,)
+        kzx = kernel.gram(gp.Z, xc)  # (L, M, mb) / (M, mb)
+        if whitened:
+            wt = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
+            w = jnp.swapaxes(wt, -2, -1)
+            cov = jnp.clip(kxx - jnp.sum(jnp.square(w), -1), min=0.0)
+            wlu = jnp.einsum("...nm,...mk->...nk", w, lu)
+            cov = cov + jnp.sum(jnp.square(wlu), -1)
+            mean = jnp.einsum("...nm,...m->...n", w, mu)
+            scale = jnp.sqrt(cov)
+        else:
+            w = jnp.swapaxes(
+                jax.scipy.linalg.cho_solve((lzz, True), kzx), -2, -1
+            )
+            mean = jnp.einsum("...nm,...m->...n", w, mu)
+            wd = jnp.einsum("...nm,...mk->...nk", w, s - kzz)
+            cov = kxx + jnp.sum(wd * w, -1)
+            scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
+        f = mean + scale * epsc  # (E, L, mb)
+        rate = vc * jnp.einsum("dl,...ln->...dn", w_sp, jnp.exp(f))
+        py = dists.Poisson(rate)
+        lp = (py.unnormalized_log_prob(yc) if unnormalized
+              else py.log_prob(yc))
+        return jnp.sum(jnp.mean(lp, axis=0))
+
+    def body(carry, inp):
+        return carry + chunk_ll(*inp), None
+
+    ll_dtype = jax.eval_shape(
+        chunk_ll, *jax.tree_util.tree_map(lambda a: a[0], xs)
+    ).dtype
+    ll, _ = jax.lax.scan(body, jnp.zeros((), ll_dtype), xs)
+    return -(ll - kl)

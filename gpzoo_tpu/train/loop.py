@@ -23,6 +23,8 @@ Reference idioms and their equivalents here:
 
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 from typing import Any, Callable, Optional, Sequence
 
@@ -106,7 +108,22 @@ def clamp_nonnegative(model, field_names: Sequence[str] = ("W_raw", "W2_raw")):
 # Step factories
 # --------------------------------------------------------------------------
 
-def make_train_step(loss_fn, optimizer, project=None, static_kwargs=None):
+def _value_and_grad(loss, model):
+    """value_and_grad over a model pytree that may hold integer leaves
+    (e.g. MGGP ``groupsZ`` group labels — the reference's
+    ``requires_grad=False`` buffers). Integer leaves get zero updates."""
+    value, grads = jax.value_and_grad(loss, allow_int=True)(model)
+    grads = jax.tree_util.tree_map(
+        lambda g, p: g if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact)
+        else jnp.zeros_like(p),
+        grads,
+        model,
+    )
+    return value, grads
+
+
+def make_train_step(loss_fn, optimizer, project=None, static_kwargs=None,
+                    donate=False):
     """Build a jitted ``step(state, *args) → (state, loss)``.
 
     ``loss_fn(model, *args, key=subkey, **static_kwargs)`` must be a pure
@@ -115,12 +132,13 @@ def make_train_step(loss_fn, optimizer, project=None, static_kwargs=None):
     """
     static_kwargs = dict(static_kwargs or {})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state, *args):
         next_key, sub = jax.random.split(state.key)
-        loss, grads = jax.value_and_grad(
-            lambda m: loss_fn(m, *args, key=sub, **static_kwargs)
-        )(state.model)
+        loss, grads = _value_and_grad(
+            lambda m: loss_fn(m, *args, key=sub, **static_kwargs),
+            state.model,
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.model)
         model = optax.apply_updates(state.model, updates)
@@ -138,22 +156,23 @@ def make_train_step(loss_fn, optimizer, project=None, static_kwargs=None):
 
 
 def make_batched_train_step(loss_fn, optimizer, num_points, batch_size,
-                            project=None, static_kwargs=None):
+                            project=None, static_kwargs=None, donate=False):
     """Like :func:`make_train_step`, but samples a without-replacement
     minibatch index vector inside the step (utilities.py:605) and passes it
     as ``loss_fn(model, *args, idx=idx, key=subkey, ...)``."""
     static_kwargs = dict(static_kwargs or {})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state, *args):
         next_key, k_idx, k_sample = jax.random.split(state.key, 3)
         idx = jax.random.choice(
             k_idx, num_points, shape=(batch_size,), replace=False
         )
-        loss, grads = jax.value_and_grad(
+        loss, grads = _value_and_grad(
             lambda m: loss_fn(m, *args, idx=idx, key=k_sample,
-                              **static_kwargs)
-        )(state.model)
+                              **static_kwargs),
+            state.model,
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.model)
         model = optax.apply_updates(state.model, updates)
@@ -170,7 +189,7 @@ def make_batched_train_step(loss_fn, optimizer, num_points, batch_size,
     return step
 
 
-def make_scan_runner(step_fn, chunk_size):
+def make_scan_runner(step_fn, chunk_size, donate=False):
     """Fuse ``chunk_size`` applications of a step into one compiled
     ``lax.scan`` program: ``runner(state, *args) → (state, losses[chunk])``.
 
@@ -179,7 +198,7 @@ def make_scan_runner(step_fn, chunk_size):
     (state, loss)`` (the functions returned by the factories above work —
     nesting jit is harmless)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def runner(state, *args):
         def body(carry, _):
             new_state, loss = step_fn(carry, *args)

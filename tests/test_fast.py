@@ -1,0 +1,81 @@
+"""The blockwise NSF fast path must equal the generic minibatch ELBO in
+value and gradient."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpzoo_tpu as gz
+from gpzoo_tpu.train import negative_elbo_batched
+from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
+
+
+@pytest.fixture(scope="module")
+def setup():
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=300, D=12, L=3)
+    # float64 inputs: the fast path compiles its body as one XLA program,
+    # so float32 inputs differ from the eager path at ~2e-6 (fusion
+    # rounding); in float64 both must agree to reassociation level.
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    key = jax.random.PRNGKey(3)
+    model = gz.NSFConfig(D=12, N=300, L=3, M=20).build(key, X=x)
+    idx = jax.random.choice(jax.random.PRNGKey(9), 300, (64,), replace=False)
+    return model, x, y, idx, key
+
+
+def test_value_matches_generic(setup):
+    model, x, y, idx, key = setup
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    for mb in (64, 32, 16):
+        fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                         microbatch=mb)
+        assert float(fast) == pytest.approx(float(ref), rel=1e-10), mb
+
+
+def test_value_close_in_float32(setup):
+    model, x, y, idx, key = setup
+    x32 = x.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    m32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float64 else a,
+        model,
+    )
+    ref = negative_elbo_batched(m32, x32, y32, idx, key, E=2)
+    fast = nsf_negative_elbo_batched(m32, x32, y32, idx, key, E=2,
+                                     microbatch=32)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_gradient_matches_generic(setup):
+    model, x, y, idx, key = setup
+    g_ref = jax.grad(
+        lambda m: negative_elbo_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_fast = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                            microbatch=16)
+    )(model)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_whitened_prior(setup, key):
+    _, x, y, idx, _ = setup
+    kernel = gz.kernels.NSFRBF.create(L=3, lengthscale=1.0)
+    gp = gz.gps.WSVGP.create(key, kernel, dim=2, M=20, jitter=1e-1)
+    model = gz.models.NSF.create(key, gp, D=12, N=300, L=3)
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                     microbatch=16)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+
+
+def test_rejects_indivisible_batch(setup):
+    model, x, y, idx, key = setup
+    with pytest.raises(ValueError):
+        nsf_negative_elbo_batched(model, x, y, idx, key, microbatch=17)
