@@ -35,13 +35,22 @@ from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
 
 
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
-                              unnormalized=True, microbatch=1024):
+                              unnormalized=True, microbatch=1024,
+                              factored=False):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
     ``microbatch`` is the spot-axis block size; the minibatch is processed
     in ``ceil(B / microbatch)`` chunks (B padded virtually by clamping is
     NOT done — B must be divisible by microbatch; pick e.g. 7000 = 7×1000).
+
+    ``factored=True`` reformulates the per-chunk work around per-step
+    precomputed factors (see the inline derivation): one triangular solve
+    and one (L, M, M)×(L, M, mb) matmul per chunk instead of a
+    ``cho_solve`` (two solves) plus a matmul — fewer FLOPs, more of them
+    on the MXU, and no (L, M, M) products like S = Lu Luᵀ materialized.
+    Identical math (float64-verified in tests); float32 values differ at
+    roundoff.
     """
     gp = model.prior
     whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
@@ -64,6 +73,36 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
         kl = jnp.sum(dists.kl_divergence(qu, pu))
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
+
+    # Per-step factored precomputations (see docstring). Everything stays
+    # solve-based — no explicit K⁻¹ is ever materialized:
+    #   whitened:   P = Lzz⁻ᵀ Lu,            m̃ = Lzz⁻ᵀ μ
+    #   unwhitened: G = Lzz⁻ᵀ (Lzz⁻¹ Lu) = K⁻¹Lu,  m̃ = K⁻¹ μ
+    # and per chunk cov = Kxx − colsum((Lzz⁻¹Kzx)²) + colsum(((P|G)ᵀKzx)²),
+    # mean = m̃ᵀ Kzx — one triangular solve + one matmul per chunk.
+    if factored:
+        lu_b = jnp.broadcast_to(lu, lzz.shape)
+        mu_b = jnp.broadcast_to(
+            gp.mu, lzz.shape[:-2] + gp.mu.shape[-1:]
+        )[..., None]
+        if whitened:
+            p_fac = jax.scipy.linalg.solve_triangular(
+                lzz, lu_b, lower=True, trans=1
+            )  # Lzz⁻ᵀ Lu
+            m_fac = jax.scipy.linalg.solve_triangular(
+                lzz, mu_b, lower=True, trans=1
+            )[..., 0]  # Lzz⁻ᵀ μ
+        else:
+            p_fac = jax.scipy.linalg.solve_triangular(
+                lzz,
+                jax.scipy.linalg.solve_triangular(lzz, lu_b, lower=True),
+                lower=True, trans=1,
+            )  # K⁻¹ Lu
+            m_fac = jax.scipy.linalg.solve_triangular(
+                lzz,
+                jax.scipy.linalg.solve_triangular(lzz, mu_b, lower=True),
+                lower=True, trans=1,
+            )[..., 0]  # K⁻¹ μ
 
     # One reparameterization draw for the whole batch, sliced per chunk —
     # bit-identical to Normal.sample(key, (E,)) on the full (L, B) marginal.
@@ -102,7 +141,19 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     def chunk_ll(xc, epsc, vc, yc):
         kxx = kernel.diag(xc)  # (L, mb) / (mb,)
         kzx = kernel.gram(gp.Z, xc)  # (L, M, mb) / (M, mb)
-        if whitened:
+        if factored:
+            mean = jnp.einsum("...mn,...m->...n", kzx, m_fac)
+            a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
+            cov = kxx - jnp.sum(jnp.square(a), axis=-2)
+            if whitened:
+                cov = jnp.clip(cov, min=0.0)
+            c = jnp.einsum("...km,...kn->...mn", p_fac, kzx)
+            cov = cov + jnp.sum(jnp.square(c), axis=-2)
+            if whitened:
+                scale = jnp.sqrt(cov)
+            else:
+                scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
+        elif whitened:
             wt = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
             w = jnp.swapaxes(wt, -2, -1)
             cov = jnp.clip(kxx - jnp.sum(jnp.square(w), -1), min=0.0)

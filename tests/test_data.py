@@ -1,0 +1,113 @@
+"""Data layer: preprocessing/NMF/metrics vs the reference implementations
+and sanity properties."""
+
+import numpy as np
+import pytest
+
+from gpzoo_tpu import data
+
+
+@pytest.fixture
+def ref_utilities():
+    from parity_utils import import_reference
+
+    return import_reference().utilities
+
+
+def test_rescale_spatial_coords_matches_reference(rng, ref_utilities):
+    x = rng.uniform(10, 500, size=(200, 2)).astype(np.float64)
+    ours = data.rescale_spatial_coords(x.copy())
+    theirs = ref_utilities.rescale_spatial_coords(x.copy())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+
+def test_scanpy_sizefactors_matches_reference(rng, ref_utilities):
+    y = rng.poisson(5.0, size=(50, 30)).astype(np.float64)
+    np.testing.assert_allclose(
+        data.scanpy_sizefactors(y), ref_utilities.scanpy_sizefactors(y)
+    )
+
+
+def test_arrays_to_train_val_split(rng):
+    coords = rng.uniform(0, 100, size=(100, 2))
+    counts = rng.poisson(3.0, size=(100, 20)).astype(np.float32)
+    dtr, dval = data.arrays_to_train_val(coords, counts, train_frac=0.8,
+                                         sz="scanpy")
+    assert dtr["X"].shape == (80, 2) and dval["X"].shape == (20, 2)
+    assert dtr["sz"].shape == (80, 1)
+    # first definition's behavior: Dval gets idx too (utilities.py:123)
+    assert np.array_equal(dval["idx"], np.arange(80, 100))
+    # full train_frac → no val split
+    dtr2, dval2 = data.arrays_to_train_val(coords, counts, train_frac=1.0)
+    assert dval2 is None
+
+
+def test_lnormal_approx_dirichlet_matches_reference(ref_utilities):
+    ours = data.lnormal_approx_dirichlet(7)
+    theirs = ref_utilities.lnormal_approx_dirichlet(7)
+    np.testing.assert_allclose(ours, theirs)
+
+
+def test_regularized_nmf_matches_reference(rng, ref_utilities):
+    y = rng.poisson(4.0, size=(60, 25)).astype(np.float64) + 0.1
+    f1, w1 = data.regularized_nmf(y, 3, max_iter=50, init="nndsvda",
+                                  random_state=0)
+    f2, w2 = ref_utilities.regularized_nmf(y, 3, max_iter=50,
+                                           init="nndsvda", random_state=0)
+    np.testing.assert_allclose(f1, f2, rtol=1e-8)
+    np.testing.assert_allclose(w1, w2, rtol=1e-8)
+
+
+def test_smooth_spatial_factors_shapes(rng):
+    f = rng.standard_normal((100, 4))
+    x = rng.uniform(-2, 2, (100, 2))
+    z = rng.uniform(-2, 2, (20, 2))
+    u, beta0, beta = data.smooth_spatial_factors(f, z, x=x)
+    assert u.shape == (20, 4) and beta.shape == (4, 2)
+    u2, beta0_2, beta_2 = data.smooth_spatial_factors(f, z)
+    assert u2.shape == (20, 4) and beta_2 is None
+
+
+def test_morans_i_detects_structure(rng):
+    coords = rng.uniform(-2, 2, (400, 2))
+    smooth = np.sin(2 * coords[:, 0])  # spatially smooth
+    noise = rng.standard_normal(400)  # spatially random
+    i_smooth = data.morans_i(smooth, coords)
+    i_noise = data.morans_i(noise, coords)
+    assert i_smooth > 0.6
+    assert abs(i_noise) < 0.15
+
+
+def test_dims_autocorr_ranking(rng):
+    coords = rng.uniform(-2, 2, (400, 2))
+    factors = np.stack(
+        [rng.standard_normal(400), np.sin(2 * coords[:, 0])], axis=1
+    )
+    idx, vals = data.dims_autocorr(factors, coords)
+    assert idx[0] == 1  # the smooth factor ranks first
+    assert vals[0] > vals[1]
+
+
+def test_simulators(rng):
+    x, y = data.simulate_1d_regression(n=100)
+    assert x.shape == (100, 1) and y.shape == (100,)
+    coords, counts, logf = data.simulate_nsf_counts(N=50, D=10, L=4)
+    assert coords.shape == (50, 2)
+    assert counts.shape == (10, 50)
+    assert logf.shape == (4, 50)
+    assert np.all(counts >= 0)
+
+
+def test_plot_factors_smoke(rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    factors = rng.standard_normal((6, 100))
+    coords = rng.uniform(-2, 2, (100, 2))
+    fig = data.plotting.plot_factors(factors, coords) if hasattr(
+        data, "plotting") else None
+    from gpzoo_tpu.data.plotting import plot_factors
+
+    fig = plot_factors(factors, coords, moran_idx=np.arange(6),
+                       names=[f"f{i}" for i in range(6)])
+    assert fig is not None

@@ -75,6 +75,37 @@ def test_whitened_prior(setup, key):
     assert float(fast) == pytest.approx(float(ref), rel=1e-9)
 
 
+def test_factored_matches_generic(setup):
+    model, x, y, idx, key = setup
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                     microbatch=16, factored=True)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-8)
+
+    g_ref = jax.grad(
+        lambda m: negative_elbo_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_fast = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                            microbatch=16, factored=True)
+    )(model)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_factored_whitened(setup, key):
+    _, x, y, idx, _ = setup
+    kernel = gz.kernels.NSFRBF.create(L=3, lengthscale=1.0)
+    gp = gz.gps.WSVGP.create(key, kernel, dim=2, M=20, jitter=1e-1)
+    model = gz.models.NSF.create(key, gp, D=12, N=300, L=3)
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                     microbatch=16, factored=True)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-8)
+
+
 def test_rejects_indivisible_batch(setup):
     model, x, y, idx, key = setup
     with pytest.raises(ValueError):
