@@ -53,8 +53,10 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
     log(f"building synthetic data N={N} D={D} L={L} M={M} batch={batch}")
     rng = np.random.default_rng(0)
     coords = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
-    counts = rng.poisson(3.0, size=(D, N)).astype(np.float32)
-    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    # counts stored spot-major (N, D): minibatch gathers are contiguous
+    # row gathers (no resident relayout copy of the 0.7 GB matrix).
+    counts_t = rng.poisson(3.0, size=(N, D)).astype(np.float32)
+    x, y = jnp.asarray(coords), jnp.asarray(counts_t)
 
     cfg = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, batch_size=batch,
                                jitter=jitter)
@@ -63,6 +65,7 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
     mask = trainable_mask(model, cfg.trainable)
     opt = partition_optimizer(cfg.optimizer(), mask)
     state = TrainState.create(model, opt, key)
+    from gpzoo_tpu.train import freeze_loss
 
     # Blockwise fast path: Cholesky/KL hoisted, spot axis processed in
     # microbatches under remat — the monolithic step's solve backward needs
@@ -71,8 +74,10 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
 
     micro = batch // 7 if batch % 7 == 0 else batch
     step = make_batched_train_step(
-        nsf_negative_elbo_batched, opt, num_points=N, batch_size=batch,
-        static_kwargs={"E": cfg.E, "microbatch": micro},
+        freeze_loss(nsf_negative_elbo_batched, mask), opt,
+        num_points=N, batch_size=batch,
+        static_kwargs={"E": cfg.E, "microbatch": micro,
+                       "y_transposed": True, "factored": True},
     )
     runner = make_scan_runner(step, chunk, donate=True)
 

@@ -216,6 +216,9 @@ class SlideseqNSFConfig:
     batch_size: int = 7000
     steps: int = 18_000
     freeze_z: bool = True
+    # cells 25-26: the 18k-step run also freezes the kernel hyperparams —
+    # only mu/Lu (and the head's W/V) train.
+    freeze_kernel: bool = True
 
     def build(self, key, X):
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -236,9 +239,11 @@ class SlideseqNSFConfig:
         return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
 
     def trainable(self, path: str) -> bool:
-        """Z (and optionally kernel hyperparams) frozen, per the notebook's
-        requires_grad flips (cells 20, 25)."""
+        """Z and kernel hyperparams frozen, per the notebook's
+        requires_grad flips (cells 20, 25-26)."""
         if self.freeze_z and path.endswith(".Z"):
+            return False
+        if self.freeze_kernel and ".kernel." in path:
             return False
         return True
 

@@ -39,3 +39,17 @@ def data_parallel_mesh(devices=None) -> Mesh:
     default layout for minibatch-sharded NSF training."""
     devices = list(jax.devices()) if devices is None else list(devices)
     return Mesh(np.array(devices), ("data",))
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
+
+    On a TPU pod slice the coordinator/process env is auto-detected; after
+    this, ``jax.devices()`` spans all hosts and the mesh builders above
+    lay meshes over the full slice (ICI within a slice, DCN across
+    hosts — XLA routes collectives accordingly). Safe to call once per
+    process; no-op arguments default to auto-detection.
+    """
+    import jax.distributed
+
+    jax.distributed.initialize(**kwargs)

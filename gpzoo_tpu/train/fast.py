@@ -36,7 +36,7 @@ from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
 
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               unnormalized=True, microbatch=1024,
-                              factored=False):
+                              factored=False, y_transposed=False):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -74,30 +74,26 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         kl = jnp.sum(dists.kl_divergence(qu, pu))
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
 
-    # Per-step factored precomputations (see docstring). Everything stays
-    # solve-based — no explicit K⁻¹ is ever materialized:
-    #   whitened:   P = Lzz⁻ᵀ Lu,            m̃ = Lzz⁻ᵀ μ
-    #   unwhitened: G = Lzz⁻ᵀ (Lzz⁻¹ Lu) = K⁻¹Lu,  m̃ = K⁻¹ μ
-    # and per chunk cov = Kxx − colsum((Lzz⁻¹Kzx)²) + colsum(((P|G)ᵀKzx)²),
-    # mean = m̃ᵀ Kzx — one triangular solve + one matmul per chunk.
+    # Per-step factored precomputations (see docstring). With
+    # a := Lzz⁻¹ Kzx (one triangular solve per chunk), both
+    # parameterizations share  cov = Kxx − colsum(a²) + colsum((Cᵀa)²)
+    # and  mean = m̃ᵀ Kzx,  where
+    #   whitened:   C = Lu (no precompute),        m̃ = Lzz⁻ᵀ μ
+    #   unwhitened: C = R = Lzz⁻¹ Lu (one solve),  m̃ = K⁻¹ μ
+    # — so the only (L, M, M) precompute is R in the unwhitened case.
     if factored:
-        lu_b = jnp.broadcast_to(lu, lzz.shape)
         mu_b = jnp.broadcast_to(
             gp.mu, lzz.shape[:-2] + gp.mu.shape[-1:]
         )[..., None]
         if whitened:
-            p_fac = jax.scipy.linalg.solve_triangular(
-                lzz, lu_b, lower=True, trans=1
-            )  # Lzz⁻ᵀ Lu
+            c_fac = lu
             m_fac = jax.scipy.linalg.solve_triangular(
                 lzz, mu_b, lower=True, trans=1
             )[..., 0]  # Lzz⁻ᵀ μ
         else:
-            p_fac = jax.scipy.linalg.solve_triangular(
-                lzz,
-                jax.scipy.linalg.solve_triangular(lzz, lu_b, lower=True),
-                lower=True, trans=1,
-            )  # K⁻¹ Lu
+            c_fac = jax.scipy.linalg.solve_triangular(
+                lzz, jnp.broadcast_to(lu, lzz.shape), lower=True
+            )  # R = Lzz⁻¹ Lu
             m_fac = jax.scipy.linalg.solve_triangular(
                 lzz,
                 jax.scipy.linalg.solve_triangular(lzz, mu_b, lower=True),
@@ -120,7 +116,14 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
 
     w_sp = softplus(model.W_raw)  # (D, L)
     v_sp = softplus(model.V_raw[idx])  # (B,)
-    y_batch = y[:, idx]  # (D, B)
+    # y_transposed: caller stores counts spot-major (N, D) so the
+    # minibatch gather is a contiguous row gather — the (D, N) layout
+    # forces XLA to keep a full relayout copy (~0.7 GB at Slideseq scale)
+    # resident for column gathers.
+    if y_transposed:
+        y_batch = jnp.swapaxes(y[idx], 0, 1)  # rows → (B, D) → (D, B)
+    else:
+        y_batch = y[:, idx]  # (D, B)
     x_batch = x[idx]  # (B, dim)
 
     # chunked axes → scan inputs
@@ -147,7 +150,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             cov = kxx - jnp.sum(jnp.square(a), axis=-2)
             if whitened:
                 cov = jnp.clip(cov, min=0.0)
-            c = jnp.einsum("...km,...kn->...mn", p_fac, kzx)
+            c = jnp.einsum("...km,...kn->...mn", c_fac, a)
             cov = cov + jnp.sum(jnp.square(c), axis=-2)
             if whitened:
                 scale = jnp.sqrt(cov)

@@ -25,8 +25,7 @@ from __future__ import annotations
 
 import functools
 
-import dataclasses
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +88,33 @@ def partition_optimizer(optimizer, mask):
         {"train": optimizer, "freeze": optax.set_to_zero()},
         lambda _params: labels,
     )
+
+
+def apply_stop_gradient(model, mask):
+    """``lax.stop_gradient`` on leaves masked False.
+
+    Complements :func:`partition_optimizer`: the optimizer mask only zeroes
+    *updates*, so XLA still differentiates through the frozen leaves'
+    computations. Stopping gradients at the leaves lets XLA prune those
+    backward branches entirely — for the north-star NSF run (kernel
+    hyperparams + Z frozen, Slideseq notebook cells 25-26) this removes
+    every transposed triangular solve from the step's backward pass.
+    """
+    return jax.tree_util.tree_map(
+        lambda leaf, m: leaf if m else jax.lax.stop_gradient(leaf),
+        model,
+        mask,
+    )
+
+
+def freeze_loss(loss_fn, mask):
+    """Wrap a loss so frozen leaves are stop-gradiented before the forward
+    (use together with :func:`partition_optimizer` on the same mask)."""
+
+    def wrapped(model, *args, **kwargs):
+        return loss_fn(apply_stop_gradient(model, mask), *args, **kwargs)
+
+    return wrapped
 
 
 def clamp_nonnegative(model, field_names: Sequence[str] = ("W_raw", "W2_raw")):

@@ -110,3 +110,11 @@ def test_rejects_indivisible_batch(setup):
     model, x, y, idx, key = setup
     with pytest.raises(ValueError):
         nsf_negative_elbo_batched(model, x, y, idx, key, microbatch=17)
+
+
+def test_y_transposed_matches(setup):
+    model, x, y, idx, key = setup
+    a = nsf_negative_elbo_batched(model, x, y, idx, key, E=2, microbatch=16)
+    b = nsf_negative_elbo_batched(model, x, jnp.swapaxes(y, 0, 1), idx, key,
+                                  E=2, microbatch=16, y_transposed=True)
+    assert float(a) == float(b)

@@ -176,3 +176,30 @@ def test_vnngp_training_runs(key):
         state, loss = step(state, X, Yj)
         first = first if first is not None else float(loss)
     assert np.isfinite(float(loss)) and float(loss) < first
+
+
+def test_freeze_loss_stop_gradient(key, nsf_data):
+    """stop-gradient freezing must zero frozen-leaf grads and leave
+    trainable-leaf grads unchanged."""
+    import jax
+    from gpzoo_tpu.train import freeze_loss, trainable_mask
+    from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    idx = jnp.arange(64)
+    mask = trainable_mask(
+        model, lambda p: not (p.endswith(".Z") or ".kernel." in p)
+    )
+    loss = freeze_loss(nsf_negative_elbo_batched, mask)
+    g = jax.grad(lambda m: loss(m, X, Y, idx, key, E=1, microbatch=32))(model)
+    g_ref = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, X, Y, idx, key, E=1,
+                                            microbatch=32)
+    )(model)
+    assert float(jnp.max(jnp.abs(g.prior.Z))) == 0.0
+    assert float(jnp.max(jnp.abs(g.prior.kernel.lengthscale))) == 0.0
+    np.testing.assert_allclose(np.asarray(g.prior.mu),
+                               np.asarray(g_ref.prior.mu), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g.W_raw),
+                               np.asarray(g_ref.W_raw), rtol=1e-10)
