@@ -35,6 +35,10 @@ def log(*a):
 
 def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
     import jax
+
+    # Matmul precision: the fast path pins its Cholesky/solves to HIGHEST
+    # internally; the large chunk matmuls run at the platform default
+    # (bf16 inputs, f32 accumulate) — see docs/PERFORMANCE.md.
     import jax.numpy as jnp
     import optax
 
@@ -77,7 +81,8 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
         freeze_loss(nsf_negative_elbo_batched, mask), opt,
         num_points=N, batch_size=batch,
         static_kwargs={"E": cfg.E, "microbatch": micro,
-                       "y_transposed": True, "factored": True},
+                       "y_transposed": True, "factored": True,
+                       "shared_kernel": True},
     )
     runner = make_scan_runner(step, chunk, donate=True)
 

@@ -36,7 +36,8 @@ from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
 
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               unnormalized=True, microbatch=1024,
-                              factored=False, y_transposed=False):
+                              factored=False, y_transposed=False,
+                              shared_kernel=False):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -60,8 +61,25 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     nc = b // microbatch
 
     kernel = gp.kernel
-    kzz = add_jitter(kernel.gram(gp.Z, gp.Z), gp.jitter)
-    lzz = jnp.linalg.cholesky(kzz)
+    if shared_kernel:
+        # All L factors share one (σ, ℓ) — the north-star configuration
+        # (equal frozen hyperparameters, notebook cells 20+25). The Gram,
+        # Cholesky, and per-chunk solve collapse to a single shared copy;
+        # only the Lu/mu-dependent terms stay L-batched. The caller asserts
+        # the equality; we just take factor 0's hyperparameters.
+        kernel = kernel.replace(
+            sigma=jnp.asarray(kernel.sigma).reshape(-1)[0],
+            lengthscale=jnp.asarray(kernel.lengthscale).reshape(-1)[0],
+        )
+    # Cholesky/solve inputs are precision-critical: a bf16-matmul blocked
+    # Cholesky of a jittered Gram visibly corrupts K⁻¹μ through the
+    # exp-rate. Pin HIGHEST here regardless of the caller's global matmul
+    # precision; the large well-conditioned chunk matmuls below run at the
+    # caller's precision (bf16 error enters the variance as a ~1% squared
+    # term — benign).
+    with jax.default_matmul_precision("highest"):
+        kzz = add_jitter(kernel.gram(gp.Z, gp.Z), gp.jitter)
+        lzz = jnp.linalg.cholesky(kzz)
     lu = lower_cholesky(gp.Lu_raw)
 
     # KL term — batch-independent (utilities.py:616 keeps it unscaled).
@@ -82,32 +100,49 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     #   unwhitened: C = R = Lzz⁻¹ Lu (one solve),  m̃ = K⁻¹ μ
     # — so the only (L, M, M) precompute is R in the unwhitened case.
     if factored:
-        mu_b = jnp.broadcast_to(
-            gp.mu, lzz.shape[:-2] + gp.mu.shape[-1:]
-        )[..., None]
-        if whitened:
-            c_fac = lu
-            m_fac = jax.scipy.linalg.solve_triangular(
-                lzz, mu_b, lower=True, trans=1
-            )[..., 0]  # Lzz⁻ᵀ μ
+        def solve_lower(mat_b, trans=0):
+            """Lzz solve that also handles unbatched lzz with L-batched
+            RHS (the shared_kernel layout) without broadcasting lzz."""
+            if lzz.ndim == 2 and mat_b.ndim == 3:
+                lb, m, k = mat_b.shape
+                flat = jnp.moveaxis(mat_b, 0, 1).reshape(m, lb * k)
+                out = jax.scipy.linalg.solve_triangular(
+                    lzz, flat, lower=True, trans=trans
+                )
+                return jnp.moveaxis(out.reshape(m, lb, k), 1, 0)
+            return jax.scipy.linalg.solve_triangular(
+                lzz, mat_b, lower=True, trans=trans
+            )
+
+        mu_arr = jnp.asarray(gp.mu)
+        if lzz.ndim == 3:
+            mu_b = jnp.broadcast_to(
+                mu_arr, lzz.shape[:-2] + mu_arr.shape[-1:]
+            )[..., None]  # (L, M, 1)
+        elif mu_arr.ndim == 2:
+            mu_b = mu_arr[:, :, None]  # (L, M, 1), lzz shared
         else:
-            c_fac = jax.scipy.linalg.solve_triangular(
-                lzz, jnp.broadcast_to(lu, lzz.shape), lower=True
-            )  # R = Lzz⁻¹ Lu
-            m_fac = jax.scipy.linalg.solve_triangular(
-                lzz,
-                jax.scipy.linalg.solve_triangular(lzz, mu_b, lower=True),
-                lower=True, trans=1,
-            )[..., 0]  # K⁻¹ μ
+            mu_b = mu_arr[:, None]  # (M, 1)
+        with jax.default_matmul_precision("highest"):
+            if whitened:
+                c_fac = lu
+                m_fac = solve_lower(mu_b, trans=1)[..., 0]  # Lzz⁻ᵀ μ
+            else:
+                lu_b = (jnp.broadcast_to(lu, lzz.shape)
+                        if lzz.ndim == 3 else lu)
+                c_fac = solve_lower(lu_b)  # R = Lzz⁻¹ Lu
+                m_fac = solve_lower(
+                    solve_lower(mu_b), trans=1
+                )[..., 0]  # K⁻¹ μ
 
     # One reparameterization draw for the whole batch, sliced per chunk —
-    # bit-identical to Normal.sample(key, (E,)) on the full (L, B) marginal.
+    # bit-identical to Normal.sample(key, (E,)) on the full (L, B) marginal
+    # (qF batch = broadcast of the kernel's L axis and mu's leading dims).
     mu = gp.mu
     kxx_probe = kernel.diag(x[:1])  # shape probe: is the kernel L-batched?
-    if kxx_probe.ndim == 2:
-        eps_shape = (E, kxx_probe.shape[0], b)
-    else:
-        eps_shape = (E, b)
+    kxx_batch = (kxx_probe.shape[0],) if kxx_probe.ndim == 2 else ()
+    qf_batch = jnp.broadcast_shapes(kxx_batch, jnp.shape(mu)[:-1])
+    eps_shape = (E,) + qf_batch + (b,)
     # dtype must match Normal.sample's (result_type of the marginal loc)
     # for the draws to be bit-identical to the generic path.
     eps_dtype = jnp.result_type(x.dtype, jnp.asarray(mu).dtype,
@@ -145,8 +180,10 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         kxx = kernel.diag(xc)  # (L, mb) / (mb,)
         kzx = kernel.gram(gp.Z, xc)  # (L, M, mb) / (M, mb)
         if factored:
-            mean = jnp.einsum("...mn,...m->...n", kzx, m_fac)
-            a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
+            mean = jnp.einsum("...mn,...m->...n", kzx, m_fac,
+                              precision=jax.lax.Precision.HIGHEST)
+            with jax.default_matmul_precision("highest"):
+                a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
             cov = kxx - jnp.sum(jnp.square(a), axis=-2)
             if whitened:
                 cov = jnp.clip(cov, min=0.0)

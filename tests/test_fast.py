@@ -118,3 +118,41 @@ def test_y_transposed_matches(setup):
     b = nsf_negative_elbo_batched(model, x, jnp.swapaxes(y, 0, 1), idx, key,
                                   E=2, microbatch=16, y_transposed=True)
     assert float(a) == float(b)
+
+
+def test_shared_kernel_matches(key):
+    """shared_kernel=True (equal per-factor hyperparams collapse to one
+    Gram/Cholesky) must match the L-batched computation exactly."""
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=300, D=12, L=3)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    kernel = gz.kernels.NSFRBF.create(L=3, sigma=1.3, lengthscale=0.9)
+    gp = gz.gps.SVGP.create(key, kernel, dim=2, M=20, jitter=1e-1)
+    gp = gp.replace(mu=jax.random.normal(key, (3, 20)),
+                    Lu_raw=jax.random.normal(key, (3, 20, 20)))
+    model = gz.models.NSF.create(key, gp, D=12, N=300, L=3)
+    idx = jax.random.choice(jax.random.PRNGKey(4), 300, (64,), replace=False)
+
+    for factored in (False, True):
+        a = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                      microbatch=16, factored=factored)
+        b = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                      microbatch=16, factored=factored,
+                                      shared_kernel=True)
+        assert float(b) == pytest.approx(float(a), rel=1e-9), factored
+
+    # gradients too (factored + shared, vs generic path)
+    g_ref = jax.grad(
+        lambda m: negative_elbo_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_fast = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                            microbatch=16, factored=True,
+                                            shared_kernel=True)
+    )(model)
+    np.testing.assert_allclose(np.asarray(g_fast.prior.mu),
+                               np.asarray(g_ref.prior.mu),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_fast.prior.Lu_raw),
+                               np.asarray(g_ref.prior.Lu_raw),
+                               rtol=1e-6, atol=1e-9)
