@@ -6,6 +6,11 @@ the second SVGP's input, with both KL terms in the ELBO.
 Run: python examples/deep_coordinates.py [--steps 500]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

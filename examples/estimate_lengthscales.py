@@ -6,6 +6,11 @@ on real-valued factors — recovers a separate lengthscale per factor.
 Run: python examples/estimate_lengthscales.py [--steps 500]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

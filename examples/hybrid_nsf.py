@@ -5,6 +5,11 @@ grid inducing points, factors warm-started from a regularized sklearn NMF.
 Run: python examples/hybrid_nsf.py [--steps 2000]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

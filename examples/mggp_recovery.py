@@ -7,6 +7,11 @@ closed-form whitened KL, and report recovered hyperparameters.
 Run: python examples/mggp_recovery.py [--steps 2000]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

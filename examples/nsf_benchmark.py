@@ -7,6 +7,11 @@ timing table, reproduced with scan-fused chunks.
 Run: python examples/nsf_benchmark.py [--m 100 250 500 1000] [--steps 10000]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -4,6 +4,11 @@ Poisson NMF with a mean-field prior, L=4, Adam(1e-2), E=20.
 Run: python examples/pnmf.py [--steps 10000]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -9,6 +9,11 @@ synthetic counts at identical shapes.
 Run: python examples/slideseq_nsf.py [--steps 18000] [--data-parallel]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -7,6 +7,11 @@ step per iteration.
 Run: python examples/svgp_regression.py [--steps 200]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -5,6 +5,11 @@ points — per-point cost O(K³), independent of M.
 Run: python examples/vnngp_regression.py [--k 5] [--steps 200]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -93,7 +93,7 @@ class NSFConfig:
         gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M, jitter=self.jitter)
         if X is not None:
             idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
-                                    replace=False)
+                                    replace=self.M > X.shape[0])
             gp = gp.replace(Z=jnp.asarray(X)[idx])
         return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
 

@@ -95,28 +95,65 @@ class VNNGP:
         _, idx = jax.lax.top_k(-distance, self.K)  # (N, K)
 
         # K×K block gathers (see module docstring). The reference re-jitters
-        # the gathered little_Kzz before inverting (gp.py:77) — replicated.
-        little_kzz = add_jitter(gather_blocks(kzz, idx), self.jitter)
+        # the gathered little_Kzz before inverting (gp.py:77) — replicated
+        # (inside the Pallas kernel on that path).
+        little_kzz = gather_blocks(kzz, idx)
         little_s = gather_blocks(s, idx)
         little_kxz = jnp.take_along_axis(
             kxz, idx if kxz.ndim == 2 else idx[None], axis=-1
         )  # (..., N, K)
-        little_mu = self.mu[..., idx]  # (..., N, K)
+        little_mu = jnp.broadcast_to(
+            self.mu[..., idx], little_kxz.shape
+        )  # (..., N, K)
 
-        # W = little_Kxz @ little_Kzz⁻¹; the blocks are symmetric, so this is
-        # one batched K×K Cholesky solve: W = (little_Kzz⁻¹ little_Kxzᵀ)ᵀ.
-        chol_blk = jnp.linalg.cholesky(little_kzz)
-        w = jax.scipy.linalg.cho_solve(
-            (chol_blk, True), little_kxz[..., None]
-        )[..., 0]  # (..., N, K)
-
-        # Per-point svgp_forward (utilities.py:382-397) on K-sized blocks.
-        mean = jnp.einsum("...nk,...nk->...n", w, little_mu)
-        diff = little_s - little_kzz
-        wd = jnp.einsum("...nk,...nkj->...nj", w, diff)
-        cov = kxx + jnp.einsum("...nk,...nk->...n", wd, w)
+        mean, cov = self._conditional(
+            little_kzz, little_s, little_kxz, little_mu, kxx
+        )
 
         qf = dists.Normal(mean, jnp.sqrt(jnp.clip(cov, min=self.var_floor)))
         qu = dists.MultivariateNormalTril(self.mu, lu)
         pu = dists.MultivariateNormalTril(jnp.zeros_like(self.mu), lzz)
         return qf, qu, pu
+
+    def _conditional(self, little_kzz, little_s, little_kxz, little_mu, kxx):
+        """Per-point K×K conditioning — Pallas structure-of-arrays kernel
+        when the backend/shape qualify, batched XLA linalg otherwise.
+        ``little_kzz`` arrives without the extra block jitter; both paths
+        add it (replicating the reference's in-place add_jitter at
+        gp.py:77, which also reaches svgp_forward)."""
+        from gpzoo_tpu.ops import vnngp_pallas
+
+        batch = little_kzz.shape[:-3]
+        n, k = little_kzz.shape[-3], little_kzz.shape[-1]
+        total = n
+        for bdim in batch:
+            total *= bdim
+        if vnngp_pallas.enabled_for(total, k, little_kzz.dtype):
+            def fold(a, event):
+                return jnp.broadcast_to(a, batch + a.shape[-event:]).reshape(
+                    (total,) + a.shape[-event:][1:]
+                )
+
+            mean, cov = vnngp_pallas.block_conditional(
+                fold(little_kzz, 3),
+                fold(little_s, 3),
+                fold(little_kxz, 2),
+                fold(little_mu, 2),
+                fold(jnp.broadcast_to(kxx, batch + (n,)), 1),
+                self.jitter,
+            )
+            return mean.reshape(batch + (n,)), cov.reshape(batch + (n,))
+
+        blocks = add_jitter(little_kzz, self.jitter)
+        chol_blk = jnp.linalg.cholesky(blocks)
+        # W = little_Kxz @ blocks⁻¹; the blocks are symmetric, so this is
+        # one batched K×K Cholesky solve.
+        w = jax.scipy.linalg.cho_solve(
+            (chol_blk, True), little_kxz[..., None]
+        )[..., 0]  # (..., N, K)
+        # Per-point svgp_forward (utilities.py:382-397) on K-sized blocks.
+        mean = jnp.einsum("...nk,...nk->...n", w, little_mu)
+        diff = little_s - blocks
+        wd = jnp.einsum("...nk,...nkj->...nj", w, diff)
+        cov = kxx + jnp.einsum("...nk,...nk->...n", wd, w)
+        return mean, cov

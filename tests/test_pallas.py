@@ -83,3 +83,58 @@ def test_enabled_for_heuristic():
     # backend on CI is cpu → disabled regardless of shape
     assert not gram_pallas.enabled_for(512, 512, 2, jnp.float32) or \
         jax.default_backend() in ("tpu", "axon")
+
+
+def test_vnngp_block_conditional_matches_xla(rng):
+    from gpzoo_tpu.ops import vnngp_pallas
+
+    n, k = 300, 5  # non-multiple of the tile to exercise padding
+    a = rng.standard_normal((n, k, k)).astype(np.float32)
+    kzz = a @ np.swapaxes(a, -1, -2) + 3 * np.eye(k, dtype=np.float32)
+    b = rng.standard_normal((n, k, k)).astype(np.float32) * 0.3
+    s = b @ np.swapaxes(b, -1, -2)
+    kxz = rng.standard_normal((n, k)).astype(np.float32)
+    mu = rng.standard_normal((n, k)).astype(np.float32)
+    kxx = rng.uniform(0.5, 2.0, n).astype(np.float32)
+
+    mean_p, cov_p = vnngp_pallas.block_conditional(
+        jnp.asarray(kzz), jnp.asarray(s), jnp.asarray(kxz),
+        jnp.asarray(mu), jnp.asarray(kxx), 1e-2, True,
+    )
+    mean_x, cov_x = vnngp_pallas._xla_reference(
+        jnp.asarray(kzz), jnp.asarray(s), jnp.asarray(kxz),
+        jnp.asarray(mu), jnp.asarray(kxx), 1e-2,
+    )
+    np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_x),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_x),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_vnngp_block_conditional_gradients(rng):
+    from gpzoo_tpu.ops import vnngp_pallas
+
+    n, k = 64, 3
+    a = rng.standard_normal((n, k, k)).astype(np.float32)
+    kzz = jnp.asarray(a @ np.swapaxes(a, -1, -2) +
+                      3 * np.eye(k, dtype=np.float32))
+    b = rng.standard_normal((n, k, k)).astype(np.float32) * 0.3
+    s = jnp.asarray(b @ np.swapaxes(b, -1, -2))
+    kxz = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    kxx = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+
+    def loss_p(s, mu):
+        m, c = vnngp_pallas.block_conditional(kzz, s, kxz, mu, kxx,
+                                              1e-2, True)
+        return jnp.sum(m * m + c)
+
+    def loss_x(s, mu):
+        m, c = vnngp_pallas._xla_reference(kzz, s, kxz, mu, kxx, 1e-2)
+        return jnp.sum(m * m + c)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1))(s, mu)
+    g_x = jax.grad(loss_x, argnums=(0, 1))(s, mu)
+    for a_, b_ in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
