@@ -24,9 +24,10 @@ import numpy as np
 import gpzoo_tpu as gz
 from gpzoo_tpu.train import (
     TrainState,
+    freeze_loss,
     make_batched_train_step,
     make_scan_runner,
-    negative_elbo_batched,
+    nsf_negative_elbo_batched,
     partition_optimizer,
     save_checkpoint,
     trainable_mask,
@@ -65,12 +66,19 @@ def main():
     n, d = x.shape[0], y.shape[0]
 
     key = jax.random.PRNGKey(0)
-    cfg = gz.SlideseqNSFConfig(D=d, N=n, batch_size=min(7000, n),
-                               steps=args.steps)
+    cfg = gz.SlideseqNSFConfig(D=d, N=n, M=min(3000, n),
+                               batch_size=min(7000, n), steps=args.steps)
     model = cfg.build(key, x)
     mask = trainable_mask(model, cfg.trainable)
     opt = partition_optimizer(cfg.optimizer(), mask)
     state = TrainState.create(model, opt, key)
+
+    # blockwise fast path (docs/PERFORMANCE.md): the monolithic step needs
+    # ~2x one chip's HBM at this scale
+    micro = cfg.batch_size // 7 if cfg.batch_size % 7 == 0 else cfg.batch_size
+    loss_fn = freeze_loss(nsf_negative_elbo_batched, mask)
+    fast_kwargs = {"E": cfg.E, "microbatch": micro, "factored": True,
+                   "shared_kernel": True}
 
     if args.data_parallel:
         from gpzoo_tpu.parallel import (
@@ -84,15 +92,15 @@ def main():
         state = replicate(mesh, state)
         x_in, y_in = replicate(mesh, x), shard_columns(mesh, y)
         step = make_sharded_batched_train_step(
-            negative_elbo_batched, opt, num_points=n,
+            loss_fn, opt, num_points=n,
             batch_size=cfg.batch_size, mesh=mesh,
-            static_kwargs={"E": cfg.E},
+            static_kwargs=fast_kwargs,
         )
     else:
         x_in, y_in = x, y
         step = make_batched_train_step(
-            negative_elbo_batched, opt, num_points=n,
-            batch_size=cfg.batch_size, static_kwargs={"E": cfg.E},
+            loss_fn, opt, num_points=n,
+            batch_size=cfg.batch_size, static_kwargs=fast_kwargs,
         )
 
     runner = make_scan_runner(step, args.chunk)

@@ -227,7 +227,7 @@ class SlideseqNSFConfig:
         )
         gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M, jitter=self.jitter)
         idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
-                                replace=False)
+                                replace=self.M > X.shape[0])
         gp = gp.replace(
             Z=jnp.asarray(X)[idx],
             mu=jax.random.normal(k4, (self.L, self.M)),

@@ -32,10 +32,13 @@ from gpzoo_tpu.ops.linalg import embed_distance_matrix
 from gpzoo_tpu.kernels.rbf import _bcast_hparam
 
 
-def _default_embedding(n_groups, dtype=jnp.float32):
+def _default_embedding(n_groups, dtype=None):
     """MDS embedding of the complete-graph group distances (1 − I)
-    (kernels.py:164-165, 200-201)."""
-    d = jnp.ones((n_groups, n_groups), dtype=dtype) - jnp.eye(n_groups, dtype=dtype)
+    (kernels.py:164-165, 200-201). dtype follows the ambient default
+    (float64 under x64) unless given."""
+    d = jnp.ones((n_groups, n_groups), dtype=dtype) - jnp.eye(
+        n_groups, dtype=dtype
+    )
     return embed_distance_matrix(d)
 
 

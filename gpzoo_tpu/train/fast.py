@@ -37,7 +37,7 @@ from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               unnormalized=True, microbatch=1024,
                               factored=False, y_transposed=False,
-                              shared_kernel=False):
+                              shared_kernel=False, groups=None):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -52,8 +52,15 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     on the MXU, and no (L, M, M) products like S = Lu Luᵀ materialized.
     Identical math (float64-verified in tests); float32 values differ at
     roundoff.
+
+    ``groups``: per-spot group labels (N,) for multi-group (MGGP) models —
+    threaded into the group-aware kernel exactly like
+    ``MGGP_NSF.forward_batched`` (likelihoods.py:344-361).
     """
-    gp = model.prior
+    gp = getattr(model, "prior", None)
+    if gp is None:
+        gp = model.gp  # MGGPNSF / LegacyNSF attribute name
+    groups_z = getattr(gp, "groupsZ", None)
     whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
     b = idx.shape[0]
     if b % microbatch:
@@ -78,7 +85,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # caller's precision (bf16 error enters the variance as a ~1% squared
     # term — benign).
     with jax.default_matmul_precision("highest"):
-        kzz = add_jitter(kernel.gram(gp.Z, gp.Z), gp.jitter)
+        kzz = add_jitter(kernel.gram(gp.Z, gp.Z, groups_z, groups_z),
+                         gp.jitter)
         lzz = jnp.linalg.cholesky(kzz)
     lu = lower_cholesky(gp.Lu_raw)
 
@@ -160,6 +168,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     else:
         y_batch = y[:, idx]  # (D, B)
     x_batch = x[idx]  # (B, dim)
+    groups_batch = groups[idx] if groups is not None else None
 
     # chunked axes → scan inputs
     def chunk(a, axis):
@@ -173,12 +182,15 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         chunk(eps, eps.ndim - 1),  # (nc, E, L, mb) / (nc, E, mb)
         chunk(v_sp, 0),  # (nc, mb)
         chunk(y_batch, 1),  # (nc, D, mb)
+        (chunk(groups_batch, 0) if groups_batch is not None
+         else jnp.zeros((nc, 1))),  # (nc, mb) group labels / dummy
     )
 
     @jax.checkpoint
-    def chunk_ll(xc, epsc, vc, yc):
-        kxx = kernel.diag(xc)  # (L, mb) / (mb,)
-        kzx = kernel.gram(gp.Z, xc)  # (L, M, mb) / (M, mb)
+    def chunk_ll(xc, epsc, vc, yc, gc):
+        gc = gc if groups is not None else None
+        kxx = kernel.diag(xc, gc)  # (L, mb) / (mb,)
+        kzx = kernel.gram(gp.Z, xc, groups_z, gc)  # (L, M, mb) / (M, mb)
         if factored:
             mean = jnp.einsum("...mn,...m->...n", kzx, m_fac,
                               precision=jax.lax.Precision.HIGHEST)

@@ -77,16 +77,29 @@ def trainable_mask(model, trainable: Callable[[str], bool]):
 
 
 def partition_optimizer(optimizer, mask):
-    """Wrap ``optimizer`` so leaves masked False receive zero updates."""
-    labels = jax.tree_util.tree_map(
-        lambda m: "train" if m else "freeze", mask
-    )
-    # Pass labels through a thunk: the labels pytree is model-shaped, and
-    # model dataclasses define __call__, which optax.multi_transform would
-    # otherwise mistake for a label-factory function.
+    """Wrap ``optimizer`` so leaves masked False receive zero updates.
+
+    Non-float leaves (e.g. MGGP ``groupsZ`` labels) are force-frozen
+    regardless of the mask — momentum-style optimizers would otherwise
+    promote their integer state to float (breaking scan carries).
+
+    Labels are produced by a function of the params (not a bare pytree):
+    the labels pytree is model-shaped, and model dataclasses define
+    ``__call__``, which ``optax.multi_transform`` would mistake for a
+    label factory.
+    """
+
+    def labels(params):
+        return jax.tree_util.tree_map(
+            lambda m, p: "train"
+            if (m and jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact))
+            else "freeze",
+            mask,
+            params,
+        )
+
     return optax.multi_transform(
-        {"train": optimizer, "freeze": optax.set_to_zero()},
-        lambda _params: labels,
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels
     )
 
 

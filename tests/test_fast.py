@@ -156,3 +156,28 @@ def test_shared_kernel_matches(key):
     np.testing.assert_allclose(np.asarray(g_fast.prior.Lu_raw),
                                np.asarray(g_ref.prior.Lu_raw),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_mggp_fast_path_matches_generic(key, rng):
+    """Fast path with group labels == generic MGGP-NSF minibatch ELBO."""
+    N, D, L, M, G = 200, 10, 2, 16, 3
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    groups = jnp.asarray(rng.integers(0, G, N))
+    x = jnp.asarray(coords)
+    y = jnp.asarray(counts)
+
+    kernel = gz.kernels.MGGPNSFRBF.create(
+        sigma=1.0, lengthscale=1.2, group_diff_param=0.7, n_groups=G, L=L
+    )
+    gp = gz.gps.MGGPSVGP.create(key, kernel, dim=2, M=M, jitter=1e-1,
+                                n_groups=G)
+    model = gz.models.MGGPNSF.create(key, gp, D=D, N=N, L=L)
+    idx = jax.random.choice(jax.random.PRNGKey(2), N, (48,), replace=False)
+
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2, groups_x=groups)
+    for factored in (False, True):
+        fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                         microbatch=16, factored=factored,
+                                         groups=groups)
+        assert float(fast) == pytest.approx(float(ref), rel=1e-9), factored
