@@ -82,7 +82,7 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1):
         num_points=N, batch_size=batch,
         static_kwargs={"E": cfg.E, "microbatch": micro,
                        "y_transposed": True, "factored": True,
-                       "shared_kernel": True},
+                       "shared_kernel": True, "remat": False},
     )
     runner = make_scan_runner(step, chunk, donate=True)
 

@@ -37,7 +37,8 @@ from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               unnormalized=True, microbatch=1024,
                               factored=False, y_transposed=False,
-                              shared_kernel=False, groups=None):
+                              shared_kernel=False, groups=None,
+                              remat=True):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -91,12 +92,33 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     lu = lower_cholesky(gp.Lu_raw)
 
     # KL term — batch-independent (utilities.py:616 keeps it unscaled).
-    qu = dists.MultivariateNormalTril(gp.mu, lu)
+    # When the Cholesky is shared across factors (shared_kernel +
+    # factored), compute the MVN KL with matmuls against one small K⁻¹:
+    #   KL_l = ½(tr(K⁻¹ Lu_l Lu_lᵀ) + μ_lᵀK⁻¹μ_l − M) + log|Lzz| − log|Lu_l|
+    # — the generic path's batched (L, M, M) triangular solve runs at
+    # ~6 TF/s on v5e vs ~94 TF/s for the equivalent matmuls.
+    s = None
+    k_inv = None
     if whitened:
         kl = jnp.sum(whitened_kl(gp.mu, lu))
-        s = None
+    elif factored and lzz.ndim == 2:
+        m_dim = lzz.shape[-1]
+        with jax.default_matmul_precision("highest"):
+            k_inv = jax.scipy.linalg.cho_solve(
+                (lzz, True), jnp.eye(m_dim, dtype=lzz.dtype)
+            )
+        lu_l = lu if lu.ndim == 3 else lu[None]
+        mu_l = jnp.atleast_2d(jnp.asarray(gp.mu))
+        trace = jnp.einsum("ij,ljk,lik->l", k_inv, lu_l, lu_l)
+        maha = jnp.einsum("lm,mk,lk->l", mu_l, k_inv, mu_l)
+        logdet_p = jnp.sum(jnp.log(jnp.diagonal(lzz)))
+        logdet_q = jnp.sum(
+            jnp.log(jnp.diagonal(lu_l, axis1=-2, axis2=-1)), axis=-1
+        )
+        kl = jnp.sum(0.5 * (trace + maha - m_dim) + logdet_p - logdet_q)
     else:
         pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
+        qu = dists.MultivariateNormalTril(gp.mu, lu)
         kl = jnp.sum(dists.kl_divergence(qu, pu))
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
 
@@ -131,14 +153,26 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             mu_b = mu_arr[:, :, None]  # (L, M, 1), lzz shared
         else:
             mu_b = mu_arr[:, None]  # (M, 1)
+        # two_solve: with a shared Cholesky the L-batched (L, M, M)
+        # R = Lzz⁻¹Lu precompute (slow triangular solves) is replaced by a
+        # second *shared* per-chunk solve ã = Lzz⁻ᵀa, after which
+        # Cᵀa ≡ Luᵀã — an L-batched matmul against Lu directly.
+        two_solve = (not whitened) and lzz.ndim == 2
         with jax.default_matmul_precision("highest"):
-            if whitened:
+            if whitened or two_solve:
                 c_fac = lu
-                m_fac = solve_lower(mu_b, trans=1)[..., 0]  # Lzz⁻ᵀ μ
             else:
-                lu_b = (jnp.broadcast_to(lu, lzz.shape)
-                        if lzz.ndim == 3 else lu)
-                c_fac = solve_lower(lu_b)  # R = Lzz⁻¹ Lu
+                c_fac = solve_lower(
+                    jnp.broadcast_to(lu, lzz.shape)
+                    if lzz.ndim == 3 else lu
+                )  # R = Lzz⁻¹ Lu
+            if whitened:
+                m_fac = solve_lower(mu_b, trans=1)[..., 0]  # Lzz⁻ᵀ μ
+            elif k_inv is not None:
+                m_fac = jnp.einsum(
+                    "ij,...j->...i", k_inv, jnp.asarray(gp.mu)
+                )  # K⁻¹ μ via the shared inverse
+            else:
                 m_fac = solve_lower(
                     solve_lower(mu_b), trans=1
                 )[..., 0]  # K⁻¹ μ
@@ -186,7 +220,6 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
          else jnp.zeros((nc, 1))),  # (nc, mb) group labels / dummy
     )
 
-    @jax.checkpoint
     def chunk_ll(xc, epsc, vc, yc, gc):
         gc = gc if groups is not None else None
         kxx = kernel.diag(xc, gc)  # (L, mb) / (mb,)
@@ -199,6 +232,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             cov = kxx - jnp.sum(jnp.square(a), axis=-2)
             if whitened:
                 cov = jnp.clip(cov, min=0.0)
+            if two_solve:
+                with jax.default_matmul_precision("highest"):
+                    a = jax.scipy.linalg.solve_triangular(
+                        lzz, a, lower=True, trans=1
+                    )  # ã = K⁻¹Kzx; Cᵀa becomes Luᵀã
             c = jnp.einsum("...km,...kn->...mn", c_fac, a)
             cov = cov + jnp.sum(jnp.square(c), axis=-2)
             if whitened:
@@ -228,8 +266,10 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
               else py.log_prob(yc))
         return jnp.sum(jnp.mean(lp, axis=0))
 
+    chunk_fn = jax.checkpoint(chunk_ll) if remat else chunk_ll
+
     def body(carry, inp):
-        return carry + chunk_ll(*inp), None
+        return carry + chunk_fn(*inp), None
 
     ll_dtype = jax.eval_shape(
         chunk_ll, *jax.tree_util.tree_map(lambda a: a[0], xs)
