@@ -12,6 +12,7 @@ from gpzoo_tpu.data.nmf_init import (
     smooth_spatial_factors,
 )
 from gpzoo_tpu.data.metrics import morans_i, dims_autocorr
+from gpzoo_tpu.data.io import read_h5ad, load_train_val
 from gpzoo_tpu.data.sim import simulate_nsf_counts, simulate_1d_regression
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "lnormal_approx_dirichlet",
     "smooth_spatial_factors",
     "morans_i",
+    "read_h5ad",
+    "load_train_val",
     "dims_autocorr",
     "simulate_nsf_counts",
     "simulate_1d_regression",

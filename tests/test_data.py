@@ -111,3 +111,55 @@ def test_plot_factors_smoke(rng):
     fig = plot_factors(factors, coords, moran_idx=np.arange(6),
                        names=[f"f{i}" for i in range(6)])
     assert fig is not None
+
+
+def test_h5ad_reader_roundtrip(tmp_path, rng):
+    """Write an AnnData-layout HDF5 file with h5py (dense + CSR + categorical
+    obs) and read it back with the anndata-free reader."""
+    h5py = pytest.importorskip("h5py")
+    from scipy import sparse
+
+    from gpzoo_tpu.data.io import load_train_val, read_h5ad
+
+    n, d = 60, 10
+    x = rng.poisson(3.0, (n, d)).astype(np.float32)
+    coords = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    codes = rng.integers(0, 3, n).astype(np.int8)
+
+    # dense X + new-style categorical obs
+    p1 = tmp_path / "dense.h5ad"
+    with h5py.File(p1, "w") as f:
+        f.create_dataset("X", data=x)
+        f.create_dataset("obsm/spatial", data=coords)
+        g = f.create_group("obs/cluster")
+        g.attrs["encoding-type"] = "categorical"
+        g.create_dataset("codes", data=codes)
+        g.create_dataset("categories",
+                         data=np.array([b"a", b"b", b"c"]))
+    out = read_h5ad(str(p1), obs_columns=("cluster",))
+    np.testing.assert_array_equal(out["X"], x)
+    np.testing.assert_array_equal(out["spatial"], coords)
+    vals, cats = out["obs"]["cluster"]
+    np.testing.assert_array_equal(vals, codes)
+    assert len(cats) == 3
+
+    # CSR X
+    p2 = tmp_path / "csr.h5ad"
+    sp = sparse.csr_matrix(x)
+    with h5py.File(p2, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csr_matrix"
+        g.attrs["shape"] = np.array([n, d])
+        g.create_dataset("data", data=sp.data)
+        g.create_dataset("indices", data=sp.indices)
+        g.create_dataset("indptr", data=sp.indptr)
+        f.create_dataset("obsm/spatial", data=coords)
+    out2 = read_h5ad(str(p2))
+    np.testing.assert_array_equal(out2["X"], x)
+
+    dtr, dval, obs = load_train_val(str(p1), train_frac=0.8, sz="scanpy",
+                                    shuffle_seed=0,
+                                    obs_columns=("cluster",))
+    assert dtr["X"].shape == (48, 2)
+    assert dtr["Y"].shape == (48, d)
+    assert obs["cluster"][0].shape == (n,)
