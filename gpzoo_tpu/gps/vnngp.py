@@ -102,9 +102,7 @@ class VNNGP:
         little_kxz = jnp.take_along_axis(
             kxz, idx if kxz.ndim == 2 else idx[None], axis=-1
         )  # (..., N, K)
-        little_mu = jnp.broadcast_to(
-            self.mu[..., idx], little_kxz.shape
-        )  # (..., N, K)
+        little_mu = self.mu[..., idx]  # (..., N, K)
 
         mean, cov = self._conditional(
             little_kzz, little_s, little_kxz, little_mu, kxx
@@ -123,7 +121,15 @@ class VNNGP:
         gp.py:77, which also reaches svgp_forward)."""
         from gpzoo_tpu.ops import vnngp_pallas
 
-        batch = little_kzz.shape[:-3]
+        # Leading batch dims may differ per operand (e.g. shared-kernel
+        # blocks are unbatched while mu/S carry the factor axis).
+        batch = jnp.broadcast_shapes(
+            little_kzz.shape[:-3],
+            little_s.shape[:-3],
+            little_kxz.shape[:-2],
+            little_mu.shape[:-2],
+            jnp.shape(kxx)[:-1],
+        )
         n, k = little_kzz.shape[-3], little_kzz.shape[-1]
         total = n
         for bdim in batch:

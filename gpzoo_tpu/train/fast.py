@@ -34,6 +34,78 @@ from gpzoo_tpu.gps.svgp import SVGP, WSVGP
 from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
 
 
+def _matmul_kl(mu, lu, lzz):
+    """Σ_l KL(N(μ_l, Lu_l Lu_lᵀ) ‖ N(0, Kzz)) for a SHARED (M, M) prior
+    Cholesky, computed with matmuls against one K⁻¹ instead of batched
+    (L, M, M) triangular solves (6 TF/s vs 94 TF/s on v5e):
+
+        KL_l = ½(tr(K⁻¹ S_l) + μ_lᵀK⁻¹μ_l − M) + log|Lzz| − log|Lu_l|.
+
+    Returns (kl_sum, K⁻¹) so callers can reuse the inverse.
+    """
+    m_dim = lzz.shape[-1]
+    with jax.default_matmul_precision("highest"):
+        k_inv = jax.scipy.linalg.cho_solve(
+            (lzz, True), jnp.eye(m_dim, dtype=lzz.dtype)
+        )
+    lu_l = lu if lu.ndim == 3 else lu[None]
+    mu_l = jnp.atleast_2d(jnp.asarray(mu))
+    trace = jnp.einsum("ij,ljk,lik->l", k_inv, lu_l, lu_l)
+    maha = jnp.einsum("lm,mk,lk->l", mu_l, k_inv, mu_l)
+    logdet_p = jnp.sum(jnp.log(jnp.diagonal(lzz)))
+    logdet_q = jnp.sum(
+        jnp.log(jnp.diagonal(lu_l, axis1=-2, axis2=-1)), axis=-1
+    )
+    kl = jnp.sum(0.5 * (trace + maha - m_dim) + logdet_p - logdet_q)
+    return kl, k_inv
+
+
+def _collapse_shared_kernel(kernel):
+    """Take factor 0's hyperparameters of an L-batched kernel whose
+    factors are known-equal (caller asserts) — Gram/Cholesky collapse."""
+    return kernel.replace(
+        sigma=jnp.asarray(kernel.sigma).reshape(-1)[0],
+        lengthscale=jnp.asarray(kernel.lengthscale).reshape(-1)[0],
+    )
+
+
+def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
+                                    unnormalized=True, shared_kernel=False,
+                                    y_transposed=False):
+    """Fast minibatch −ELBO for NSF over a VNNGP prior — same value as the
+    generic path, with the per-step (L, M, M) work collapsed:
+
+    * ``shared_kernel=True`` (equal per-factor hyperparameters) computes
+      one (M, M) Gram/Cholesky instead of L,
+    * the KL uses :func:`_matmul_kl` (no batched M×M triangular solves),
+    * the per-point K×K conditioning dispatches to the Pallas
+      structure-of-arrays kernel on TPU (see gps/vnngp.py).
+
+    The VNNGP conditioning itself is already O(B·K³) — no spot-axis
+    microbatching needed.
+    """
+    gp = model.prior if hasattr(model, "prior") else model.gp
+    if shared_kernel:
+        gp = gp.replace(kernel=_collapse_shared_kernel(gp.kernel))
+
+    qf, qu, pu = gp(x[idx])
+    f = qf.sample(key, (E,))
+    rate = softplus(model.V_raw[idx]) * jnp.einsum(
+        "dl,...ln->...dn", softplus(model.W_raw), jnp.exp(f)
+    )
+    py = dists.Poisson(rate)
+    yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
+    lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
+    ll = jnp.sum(jnp.mean(lp, axis=0))
+
+    lzz = pu.scale_tril
+    if lzz.ndim == 2:
+        kl, _ = _matmul_kl(qu.loc, qu.scale_tril, lzz)
+    else:
+        kl = jnp.sum(dists.kl_divergence(qu, pu))
+    return -(ll - kl)
+
+
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               unnormalized=True, microbatch=1024,
                               factored=False, y_transposed=False,
@@ -73,12 +145,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         # All L factors share one (σ, ℓ) — the north-star configuration
         # (equal frozen hyperparameters, notebook cells 20+25). The Gram,
         # Cholesky, and per-chunk solve collapse to a single shared copy;
-        # only the Lu/mu-dependent terms stay L-batched. The caller asserts
-        # the equality; we just take factor 0's hyperparameters.
-        kernel = kernel.replace(
-            sigma=jnp.asarray(kernel.sigma).reshape(-1)[0],
-            lengthscale=jnp.asarray(kernel.lengthscale).reshape(-1)[0],
-        )
+        # only the Lu/mu-dependent terms stay L-batched.
+        kernel = _collapse_shared_kernel(kernel)
     # Cholesky/solve inputs are precision-critical: a bf16-matmul blocked
     # Cholesky of a jittered Gram visibly corrupts K⁻¹μ through the
     # exp-rate. Pin HIGHEST here regardless of the caller's global matmul
@@ -102,20 +170,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     if whitened:
         kl = jnp.sum(whitened_kl(gp.mu, lu))
     elif factored and lzz.ndim == 2:
-        m_dim = lzz.shape[-1]
-        with jax.default_matmul_precision("highest"):
-            k_inv = jax.scipy.linalg.cho_solve(
-                (lzz, True), jnp.eye(m_dim, dtype=lzz.dtype)
-            )
-        lu_l = lu if lu.ndim == 3 else lu[None]
-        mu_l = jnp.atleast_2d(jnp.asarray(gp.mu))
-        trace = jnp.einsum("ij,ljk,lik->l", k_inv, lu_l, lu_l)
-        maha = jnp.einsum("lm,mk,lk->l", mu_l, k_inv, mu_l)
-        logdet_p = jnp.sum(jnp.log(jnp.diagonal(lzz)))
-        logdet_q = jnp.sum(
-            jnp.log(jnp.diagonal(lu_l, axis1=-2, axis2=-1)), axis=-1
-        )
-        kl = jnp.sum(0.5 * (trace + maha - m_dim) + logdet_p - logdet_q)
+        kl, k_inv = _matmul_kl(gp.mu, lu, lzz)
     else:
         pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
         qu = dists.MultivariateNormalTril(gp.mu, lu)

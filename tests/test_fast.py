@@ -181,3 +181,52 @@ def test_mggp_fast_path_matches_generic(key, rng):
                                          microbatch=16, factored=factored,
                                          groups=groups)
         assert float(fast) == pytest.approx(float(ref), rel=1e-9), factored
+
+
+def test_bench_configuration_matches_generic(key):
+    """The exact bench.py flag set (freeze + factored + shared_kernel +
+    y_transposed + remat off) must produce the generic-path loss."""
+    from gpzoo_tpu.train import freeze_loss, trainable_mask
+
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=280, D=12, L=4)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    cfg = gz.SlideseqNSFConfig(D=12, N=280, L=4, M=24, batch_size=56)
+    model = cfg.build(key, x)
+    mask = trainable_mask(model, cfg.trainable)
+    idx = jax.random.choice(jax.random.PRNGKey(7), 280, (56,),
+                            replace=False)
+
+    ref = negative_elbo_batched(model, x, y, idx, key, E=1)
+    loss = freeze_loss(nsf_negative_elbo_batched, mask)
+    fast = loss(model, x, jnp.swapaxes(y, 0, 1), idx, key, E=1,
+                microbatch=8, y_transposed=True, factored=True,
+                shared_kernel=True, remat=False)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+
+
+def test_vnngp_fast_loss_matches_generic(key, rng):
+    from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
+
+    N, D, L, M, K = 250, 10, 3, 24, 4
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    kernel = gz.kernels.NSFRBF.create(L=L, sigma=1.1, lengthscale=1.0)
+    gp = gz.gps.VNNGP.create(key, kernel, dim=2, M=M, K=K, jitter=1e-1)
+    gp = gp.replace(mu=jax.random.normal(key, (L, M)),
+                    Lu_raw=0.3 * jax.random.normal(key, (L, M, M)))
+    model = gz.models.NSF.create(key, gp, D=D, N=N, L=L)
+    idx = jax.random.choice(jax.random.PRNGKey(6), N, (64,), replace=False)
+
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    fast = vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=2)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+    fast_sh = vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                              shared_kernel=True)
+    assert float(fast_sh) == pytest.approx(float(ref), rel=1e-9)
+    fast_t = vnngp_nsf_negative_elbo_batched(
+        model, x, jnp.swapaxes(y, 0, 1), idx, key, E=2,
+        shared_kernel=True, y_transposed=True,
+    )
+    assert float(fast_t) == pytest.approx(float(ref), rel=1e-9)
