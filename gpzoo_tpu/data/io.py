@@ -92,4 +92,10 @@ def load_train_val(path, sz="scanpy", train_frac=0.95, shuffle_seed=None,
         x, y = x[perm], y[perm]
         obs = {k: (v[perm], cats) for k, (v, cats) in obs.items()}
     dtr, dval = arrays_to_train_val(x, y, train_frac=train_frac, sz=sz)
+    # slice obs columns to match the split so group labels stay aligned
+    ntr = dtr["X"].shape[0]
+    for name, (vals, cats) in obs.items():
+        dtr[f"obs_{name}"] = vals[:ntr]
+        if dval is not None:
+            dval[f"obs_{name}"] = vals[ntr:]
     return dtr, dval, obs

@@ -102,8 +102,11 @@ class Poisson:
         return x * jnp.log(self.rate) - self.rate - jax.lax.lgamma(x + 1.0)
 
     def unnormalized_log_prob(self, x):
-        """``y·log(rate) − rate`` — the reference's minibatch training
-        convention (utilities.py:611), dropping the data-only ``log y!``."""
+        """``y·log(rate) − rate`` — the convention of the reference's
+        hybrid minibatch trainer (utilities.py:510) and the Slideseq
+        north-star notebook loop (cell 21), dropping the data-only
+        ``log y!``. (``utilities.train_batched`` itself uses the
+        normalized ``log_prob``, utilities.py:611.)"""
         return x * jnp.log(self.rate) - self.rate
 
 

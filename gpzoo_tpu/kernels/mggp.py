@@ -103,7 +103,11 @@ class MGGPRBF:
             jnp.asarray(self.group_diff_param)
         ).reshape(-1)
         L = max(sigma.shape[0], ell.shape[0], alpha.shape[0])
-        scalar = jnp.asarray(self.sigma).ndim == 0
+        scalar = (
+            jnp.asarray(self.sigma).ndim == 0
+            and jnp.asarray(self.lengthscale).ndim == 0
+            and jnp.asarray(self.group_diff_param).ndim == 0
+        )
         ex = self.embedding[groups_x].astype(x.dtype)
         ez = self.embedding[groups_z].astype(x.dtype)
         out = gram_pallas.mggp_gram(

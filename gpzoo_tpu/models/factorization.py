@@ -306,13 +306,13 @@ class MGGPNSF:
         E)`` (likelihoods.py:363), group labels are keyword-only here so
         the head shares the generic ELBO signatures
         (``negative_elbo*(..., groups_x=...)``)."""
-        qf, qu, pu = self.gp(x, groups_x, **kwargs)
+        qf, qu, pu = self.gp(x, groups_x=groups_x, **kwargs)
         f = qf.sample(key, (E,))
         rate = softplus(self.V_raw) * _rate(self.W_raw, f)
         return dists.Poisson(rate), qf, qu, pu
 
     def batched(self, x, idx, key, E=10, *, groups_x, **kwargs):
-        qf, qu, pu = self.gp(x[idx], groups_x[idx], **kwargs)
+        qf, qu, pu = self.gp(x[idx], groups_x=groups_x[idx], **kwargs)
         f = qf.sample(key, (E,))
         rate = softplus(self.V_raw[idx]) * _rate(self.W_raw, f)
         return dists.Poisson(rate), qf, qu, pu

@@ -7,9 +7,15 @@ reference relies on are preserved:
 
 * the expected log-likelihood is the mean over the E sample axis, then a
   *sum* over all (D, N) entries (utilities.py:479);
-* minibatch losses use the **unnormalized** Poisson log-likelihood
-  ``y·log(rate) − rate`` (utilities.py:611) — select with
-  ``unnormalized=True`` (the default for the ``*_batched`` variants);
+* the reference has BOTH Poisson conventions: ``utilities.train_batched``
+  uses the normalized ``pY.log_prob`` (utilities.py:611) while
+  ``train_hybrid_batched`` (utilities.py:510) and the Slideseq north-star
+  notebook's inline loop (Slideseq_NSF_newest_version.ipynb cell 21) use
+  the **unnormalized** ``y·log(rate) − rate``. The ``*_batched`` losses
+  here default to ``unnormalized=True`` (the north-star convention;
+  gradients are identical — ``log y!`` is constant); pass
+  ``unnormalized=False`` to reproduce ``utilities.train_batched``
+  loss values;
 * the KL term is **not** rescaled by N/B on minibatches (a deliberate
   reference quirk, utilities.py:616);
 * whitened GPs (``pU is None``) use the closed-form
@@ -26,7 +32,7 @@ from gpzoo_tpu.bijectors import softplus
 from gpzoo_tpu.ops.linalg import whitened_kl
 
 
-def _gp_kl(model_or_gp, qu, pu):
+def _gp_kl(qu, pu):
     """KL(qU‖pU): MVN-MVN when the prior is explicit, whitened closed form
     when pU is None (WSVGP contract, gp.py:304-306)."""
     if pu is None:
@@ -45,14 +51,15 @@ def _expected_ll(py, y, unnormalized):
 def negative_elbo(model, x, y, key, E=20, unnormalized=False, **kwargs):
     """Full-batch −ELBO (utilities.py:471-493)."""
     py, qf, qu, pu = model(x, key=key, E=E, **kwargs)
-    elbo = _expected_ll(py, y, unnormalized) - _gp_kl(model, qu, pu)
+    elbo = _expected_ll(py, y, unnormalized) - _gp_kl(qu, pu)
     return -elbo
 
 
 def negative_elbo_batched(model, x, y, idx, key, E=20, unnormalized=True,
                           remat=False, **kwargs):
     """Minibatch −ELBO (utilities.py:600-621): the GP is evaluated at
-    ``x[idx]`` only and the likelihood sees ``y[:, idx]``.
+    ``x[idx]`` only and the likelihood sees ``y[:, idx]``. See the module
+    docstring for the normalized/unnormalized Poisson convention.
 
     ``remat=True`` rematerializes the model forward in the backward pass
     (``jax.checkpoint``): the L×M×B Gram/solve intermediates are recomputed
@@ -65,7 +72,7 @@ def negative_elbo_batched(model, x, y, idx, key, E=20, unnormalized=True,
     if remat:
         fwd = jax.checkpoint(fwd)
     py, qf, qu, pu = fwd(model)
-    elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(model, qu, pu)
+    elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(qu, pu)
     return -elbo
 
 
@@ -73,7 +80,7 @@ def negative_elbo_hybrid(model, x, y, key, E=20, unnormalized=False, **kwargs):
     """Full-batch hybrid −ELBO with the extra mean-field KL
     (utilities.py:535-557)."""
     py, qf1, qu, pu, qf2, pf2 = model(x, key=key, E=E, **kwargs)
-    elbo = _expected_ll(py, y, unnormalized) - _gp_kl(model, qu, pu)
+    elbo = _expected_ll(py, y, unnormalized) - _gp_kl(qu, pu)
     elbo = elbo - jnp.sum(dists.kl_divergence(qf2, pf2))
     return -elbo
 
@@ -82,7 +89,7 @@ def negative_elbo_hybrid_batched(model, x, y, idx, key, E=20,
                                  unnormalized=True, **kwargs):
     """Minibatch hybrid −ELBO (utilities.py:498-526)."""
     py, qf1, qu, pu, qf2, pf2 = model.batched(x, idx, key=key, E=E, **kwargs)
-    elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(model, qu, pu)
+    elbo = _expected_ll(py, y[:, idx], unnormalized) - _gp_kl(qu, pu)
     elbo = elbo - jnp.sum(dists.kl_divergence(qf2, pf2))
     return -elbo
 
@@ -115,7 +122,7 @@ def gaussian_exact_negative_elbo(model, x, y, key=None, E=1, **kwargs):
     noise = softplus(model.noise_raw)
     elbo = jnp.sum(py.log_prob(y))
     elbo = elbo - jnp.sum(jnp.square(qf.scale)) / (2.0 * jnp.square(noise))
-    elbo = elbo - _gp_kl(model, qu, pu)
+    elbo = elbo - _gp_kl(qu, pu)
     return -elbo
 
 

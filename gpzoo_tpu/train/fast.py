@@ -122,7 +122,9 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     precomputed factors (see the inline derivation): one triangular solve
     and one (L, M, M)×(L, M, mb) matmul per chunk instead of a
     ``cho_solve`` (two solves) plus a matmul — fewer FLOPs, more of them
-    on the MXU, and no (L, M, M) products like S = Lu Luᵀ materialized.
+    on the MXU, and no S = Lu Luᵀ materialized. (With an L-batched
+    non-shared Cholesky the KL itself still pays one batched solve —
+    only ``shared_kernel`` unlocks the matmul-form KL.)
     Identical math (float64-verified in tests); float32 values differ at
     roundoff.
 
@@ -175,7 +177,9 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
         qu = dists.MultivariateNormalTril(gp.mu, lu)
         kl = jnp.sum(dists.kl_divergence(qu, pu))
-        s = jnp.einsum("...ij,...kj->...ik", lu, lu)
+        if not factored:
+            # S = Lu Luᵀ is only consumed by the non-factored chunk path.
+            s = jnp.einsum("...ij,...kj->...ik", lu, lu)
 
     # Per-step factored precomputations (see docstring). With
     # a := Lzz⁻¹ Kzx (one triangular solve per chunk), both

@@ -203,3 +203,25 @@ def test_freeze_loss_stop_gradient(key, nsf_data):
                                np.asarray(g_ref.prior.mu), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(g.W_raw),
                                np.asarray(g_ref.W_raw), rtol=1e-10)
+
+
+def test_mggp_nsf_with_whitened_prior(key, rng):
+    """MGGPNSF must work over both MGGPSVGP and MGGPWSVGP priors
+    (groups threaded as keywords)."""
+    import gpzoo_tpu as gz
+    from gpzoo_tpu.train import negative_elbo_batched
+
+    N, D, L, G = 120, 8, 2, 3
+    x = jnp.asarray(rng.uniform(-2, 2, (N, 2)))
+    y = jnp.asarray(rng.poisson(3.0, (D, N)).astype(float))
+    groups = jnp.asarray(rng.integers(0, G, N))
+    idx = jnp.arange(32)
+
+    kernel = gz.kernels.MGGPNSFRBF.create(n_groups=G, L=L)
+    for gp_cls in (gz.gps.MGGPSVGP, gz.gps.MGGPWSVGP):
+        gp = gp_cls.create(key, kernel, dim=2, M=12, n_groups=G,
+                           jitter=1e-1)
+        model = gz.models.MGGPNSF.create(key, gp, D=D, N=N, L=L)
+        loss = negative_elbo_batched(model, x, y, idx, key, E=1,
+                                     groups_x=groups)
+        assert np.isfinite(float(loss)), gp_cls.__name__
