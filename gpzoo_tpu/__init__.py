@@ -43,6 +43,7 @@ from gpzoo_tpu import (
     train,
     data,
     parallel,
+    predict,
     utils,
 )
 from gpzoo_tpu.configs import (
@@ -64,6 +65,7 @@ __all__ = [
     "train",
     "data",
     "parallel",
+    "predict",
     "utils",
     "SVGPRegressionConfig",
     "PNMFConfig",

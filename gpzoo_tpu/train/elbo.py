@@ -68,6 +68,11 @@ def negative_elbo_batched(model, x, y, idx, key, E=20, unnormalized=True,
     (the north-star step drops from ~30 GB of temps to well under one
     chip's HBM).
     """
+    if y.shape[-1] != x.shape[0]:
+        raise ValueError(
+            f"y has {y.shape[-1]} spots (last axis) but x has "
+            f"{x.shape[0]} — counts must be (D, N) aligned with X"
+        )
     fwd = lambda m: m.batched(x, idx, key=key, E=E, **kwargs)  # noqa: E731
     if remat:
         fwd = jax.checkpoint(fwd)

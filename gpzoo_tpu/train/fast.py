@@ -256,6 +256,12 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # minibatch gather is a contiguous row gather — the (D, N) layout
     # forces XLA to keep a full relayout copy (~0.7 GB at Slideseq scale)
     # resident for column gathers.
+    n_axis = 0 if y_transposed else y.ndim - 1
+    if y.shape[n_axis] != x.shape[0]:
+        raise ValueError(
+            f"y spot axis has {y.shape[n_axis]} entries but x has "
+            f"{x.shape[0]} (y_transposed={y_transposed})"
+        )
     if y_transposed:
         y_batch = jnp.swapaxes(y[idx], 0, 1)  # rows → (B, D) → (D, B)
     else:
