@@ -113,3 +113,28 @@ def test_factor_axis_sharding(setup):
     qf_ref = jax.jit(lambda g, x: g(x)[0].mean)(gp, X)
     np.testing.assert_allclose(np.asarray(qf), np.asarray(qf_ref),
                                rtol=1e-8)
+
+
+def test_sharded_fast_path_matches(mesh, setup):
+    """The production fast loss must shard like the generic one."""
+    from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
+
+    X, Y, key, model = setup
+    opt = optax.adam(1e-3)
+    kwargs = {"E": 1, "microbatch": 32, "factored": True,
+              "shared_kernel": True}
+    step_ref = make_batched_train_step(
+        nsf_negative_elbo_batched, opt, num_points=512, batch_size=64,
+        static_kwargs=kwargs,
+    )
+    step_sh = make_sharded_batched_train_step(
+        nsf_negative_elbo_batched, opt, num_points=512, batch_size=64,
+        mesh=mesh, static_kwargs=kwargs,
+    )
+    s_ref = TrainState.create(model, opt, key)
+    s_sh = replicate(mesh, TrainState.create(model, opt, key))
+    X_sh, Y_sh = replicate(mesh, X), replicate(mesh, Y)
+    for _ in range(2):
+        s_ref, l_ref = step_ref(s_ref, X, Y)
+        s_sh, l_sh = step_sh(s_sh, X_sh, Y_sh)
+        assert float(l_ref) == pytest.approx(float(l_sh), rel=1e-9)
