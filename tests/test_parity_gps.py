@@ -238,3 +238,62 @@ def test_gaussian_prior(rng):
     qf_b, _ = ours.batched(jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(qf_b.loc), t2n(qf_tb.mean),
                                rtol=1e-12)
+
+
+def test_wsvgp_forward_precomputed_consistency(x, rng):
+    """forward_precomputed(W) with W = Kxz Lzz⁻ᵀ must reproduce the full
+    whitened forward's mean, and its variance must use σ² in place of the
+    exact diag (the reference's stationary-kernel shortcut,
+    gp.py:308-322)."""
+    import jax
+    import jax.scipy.linalg as jsl
+    from gpzoo_tpu.ops import add_jitter
+
+    M, L = 9, 3
+    kern = kernels.NSFRBF.create(sigma=1.2, lengthscale=0.9, L=L)
+    key = jax.random.PRNGKey(1)
+    gp = gps.WSVGP.create(key, kern, dim=2, M=M, jitter=1e-3)
+    gp = gp.replace(Z=jnp.asarray(x[:M]))
+
+    qf_full, qu_full, _ = gp(jnp.asarray(x))
+
+    kzz = add_jitter(kern.gram(gp.Z, gp.Z), gp.jitter)
+    lzz = jnp.linalg.cholesky(kzz)
+    kzx = kern.gram(gp.Z, jnp.asarray(x))
+    w = jnp.swapaxes(jsl.solve_triangular(lzz, kzx, lower=True), -2, -1)
+
+    qf_pre, qu_pre, pu_pre = gp.forward_precomputed(w)
+    assert pu_pre is None
+    np.testing.assert_allclose(np.asarray(qf_pre.mean),
+                               np.asarray(qf_full.mean), rtol=1e-8)
+    # variance: Kxx diag is exactly σ² for a stationary kernel, so the
+    # precomputed path matches the full one here.
+    np.testing.assert_allclose(np.asarray(qf_pre.scale),
+                               np.asarray(qf_full.scale), rtol=1e-7)
+
+
+def test_hybrid_precomputed_path(x, rng):
+    """HybridNSF.precomputed pairs the frozen projection with the batched
+    mean-field half (likelihoods.py:147-164)."""
+    import jax
+    import jax.scipy.linalg as jsl
+    from gpzoo_tpu import models as gzm
+    from gpzoo_tpu import gps as gzg
+    from gpzoo_tpu.ops import add_jitter
+
+    key = jax.random.PRNGKey(2)
+    N, D, L, T, M = x.shape[0], 6, 2, 3, 8
+    kern = kernels.NSFRBF.create(L=L, lengthscale=1.0)
+    gp = gzg.WSVGP.create(key, kern, dim=2, M=M, jitter=1e-2)
+    prior = gzg.GaussianPrior.create(key, N=N, L=T)
+    model = gzm.HybridNSF.create(key, gp, prior, D=D, N=N, L=L, T=T)
+
+    idx = jnp.arange(8)
+    kzz = add_jitter(kern.gram(gp.Z, gp.Z), gp.jitter)
+    lzz = jnp.linalg.cholesky(kzz)
+    kzx = kern.gram(gp.Z, jnp.asarray(x)[idx])
+    w = jnp.swapaxes(jsl.solve_triangular(lzz, kzx, lower=True), -2, -1)
+
+    py, qf1, qu, pu, qf2, pf2 = model.precomputed(w, idx, key, E=2)
+    assert py.rate.shape == (2, D, 8)
+    assert np.all(np.isfinite(np.asarray(py.rate)))
