@@ -225,3 +225,80 @@ def test_mggp_nsf_with_whitened_prior(key, rng):
         loss = negative_elbo_batched(model, x, y, idx, key, E=1,
                                      groups_x=groups)
         assert np.isfinite(float(loss)), gp_cls.__name__
+
+
+def test_legacy_hybrid_with_clamp_projection(key, nsf_data):
+    """Hybrid_NSF-style training: raw (unsoftplus'd) loadings + post-step
+    W/W2 clamping (utilities.py:498-526 trainer behavior)."""
+    from gpzoo_tpu.train import negative_elbo_hybrid_batched
+
+    X, Y = nsf_data
+    k1, k2 = jax.random.split(key)
+    kernel = gz.kernels.NSFRBF.create(L=2, lengthscale=1.0)
+    gp = gz.gps.SVGP.create(k1, kernel, dim=2, M=16, jitter=1e-1)
+    model = gz.models.LegacyHybridNSF.create(k2, gp, D=15, N=300, L=2,
+                                             non_spatial_factors=3)
+    opt = optax.adam(1e-2)
+    state = TrainState.create(model, opt, key)
+    step = make_batched_train_step(
+        negative_elbo_hybrid_batched, opt, num_points=300, batch_size=64,
+        project=clamp_nonnegative, static_kwargs={"E": 2},
+    )
+    first = None
+    for _ in range(25):
+        state, loss = step(state, X, Y)
+        first = first if first is not None else float(loss)
+    assert np.isfinite(float(loss))
+    # the raw loadings stay nonnegative after every update
+    assert float(jnp.min(state.model.W_raw)) >= 0.0
+    assert float(jnp.min(state.model.W2_raw)) >= 0.0
+
+
+def test_deep_gp_composition_trains(key):
+    """The (qF,qU,pU) contract composes: a 2-layer deep GP (the
+    Coordinates/Deep-Coordinates notebook pattern) trains as user code."""
+    import runpy
+    import sys
+
+    x_np, y_np = gz.data.simulate_1d_regression(n=300)
+    x, y = jnp.asarray(x_np), jnp.asarray(y_np)
+
+    from gpzoo_tpu import dists as gzd
+
+    k1, k2 = jax.random.split(key)
+    kern = gz.kernels.RBF(sigma=jnp.asarray(1.0),
+                          lengthscale=jnp.asarray(2.0))
+    gp1 = gz.gps.SVGP.create(k1, kern, dim=1, M=16, jitter=1e-3)
+    gp2 = gz.gps.SVGP.create(k2, kern, dim=1, M=16, jitter=1e-3)
+
+    def loss_fn(params, x, y, key):
+        g1, g2 = params
+        qf1, qu1, pu1 = g1(x)
+        k_a, k_b = jax.random.split(key)
+        h = qf1.sample(k_a, (2,))
+        qf2, qu2, pu2 = jax.vmap(lambda hh: g2(hh[:, None]))(h)
+        f = qf2.sample(k_b)
+        ll = jnp.sum(jnp.mean(gzd.Normal(f, 0.5).log_prob(y), axis=0))
+        kl1 = jnp.sum(gzd.kl_divergence(qu1, pu1))
+        kl2 = jnp.mean(jnp.sum(gzd.kl_divergence(qu2, pu2), axis=-1))
+        return -(ll - kl1 - kl2)
+
+    params = (gp1, gp2)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    first = None
+    step_f = jax.jit(
+        lambda p, s, k: _deep_step(p, s, k, x, y, opt, loss_fn)
+    )
+
+    def _deep_step(p, s, k, x, y, opt, loss_fn):
+        k, sub = jax.random.split(k)
+        l, g = jax.value_and_grad(loss_fn)(p, x, y, sub)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, k, l
+
+    k = key
+    for _ in range(30):
+        params, opt_state, k, loss = step_f(params, opt_state, k)
+        first = first if first is not None else float(loss)
+    assert np.isfinite(float(loss)) and float(loss) < first
