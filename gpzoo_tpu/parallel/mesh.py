@@ -41,6 +41,28 @@ def data_parallel_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+def hybrid_mesh(dcn_axis_sizes: dict, ici_axis_sizes: dict,
+                devices=None) -> Mesh:
+    """DCN-aware mesh for multi-host slices: the leading (DCN) axes span
+    hosts, the trailing (ICI) axes span each host's local chips, so
+    collectives over the ICI axes ride intra-slice links and only the DCN
+    axes cross the data-center network.
+
+    Devices are ordered ``(process_index, id)`` and reshaped to
+    ``dcn_sizes + ici_sizes`` — each contiguous ICI block is one host's
+    chips. Sizes may use -1 (inferred) in at most one axis overall. On a
+    single host this degrades gracefully to :func:`create_mesh` semantics
+    (any grouping of local devices is ICI).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    devices.sort(key=lambda d: (getattr(d, "process_index", 0),
+                                getattr(d, "id", 0)))
+    merged = {**dcn_axis_sizes, **ici_axis_sizes}
+    if len(merged) != len(dcn_axis_sizes) + len(ici_axis_sizes):
+        raise ValueError("dcn and ici axis names must be disjoint")
+    return create_mesh(merged, devices=devices)
+
+
 def initialize_distributed(**kwargs):
     """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
 

@@ -43,10 +43,72 @@ def shard_columns(mesh, array, axis_name="data"):
     return jax.device_put(array, NamedSharding(mesh, P(*spec)))
 
 
+# Per-factor parameter leaves: the L-batched inducing means (L, M), raw
+# Choleskys (L, M, M) and kernel hyperparameters (L, 1, 1). Sharding these
+# over a "factor" mesh axis is the tensor-parallel strategy of SURVEY.md
+# §2.7 — L independent M×M Choleskys partitioned across chips when L×M³
+# (plus Adam moments: ×3) exceeds one chip's HBM.
+FACTOR_PARAM_NAMES = ("mu", "Lu_raw", "sigma", "lengthscale")
+
+
+def _leaf_name(path):
+    last = path[-1]
+    if isinstance(last, jax.tree_util.GetAttrKey):
+        return last.name
+    if isinstance(last, jax.tree_util.DictKey):
+        return str(last.key)
+    return None
+
+
+def factor_shardings(mesh, tree, num_factors, axis_name="factor",
+                     param_names=FACTOR_PARAM_NAMES):
+    """Sharding pytree for ``tree`` (a model or whole TrainState): leaves
+    whose final attribute is in ``param_names`` AND whose leading dim is
+    ``num_factors`` get ``P(axis_name, None, ...)``; everything else is
+    replicated.
+
+    Because optax's Adam moments mirror the model pytree (their leaf paths
+    end in the model attribute names), passing a TrainState shards the
+    (L, M, M) first/second moments identically — at the north-star shape
+    that is 3 × 720 MB of per-factor state partitioned instead of
+    replicated.
+    """
+    rep = NamedSharding(mesh, P())
+
+    def spec(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        dtype = getattr(leaf, "dtype", None)
+        if (
+            _leaf_name(path) in param_names
+            and len(shape) >= 1
+            and shape[0] == num_factors
+            and dtype is not None
+            and jnp.issubdtype(dtype, jnp.inexact)
+        ):
+            return NamedSharding(
+                mesh, P(axis_name, *([None] * (len(shape) - 1)))
+            )
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def shard_factor_params(mesh, state, num_factors, axis_name="factor",
+                        param_names=FACTOR_PARAM_NAMES):
+    """Place a TrainState with its per-factor leaves (model + Adam
+    moments) sharded over ``axis_name`` and everything else replicated.
+    Returns ``(state, shardings)``; pass ``shardings`` as
+    ``state_shardings=`` to :func:`make_sharded_batched_train_step` so the
+    updated state keeps the layout across steps."""
+    shardings = factor_shardings(mesh, state, num_factors, axis_name,
+                                 param_names)
+    return jax.device_put(state, shardings), shardings
+
+
 def make_sharded_batched_train_step(loss_fn, optimizer, num_points,
                                     batch_size, mesh, axis_name="data",
                                     project=None, static_kwargs=None,
-                                    donate=False):
+                                    donate=False, state_shardings=None):
     """Sharded analog of
     :func:`gpzoo_tpu.train.loop.make_batched_train_step`.
 
@@ -54,6 +116,11 @@ def make_sharded_batched_train_step(loss_fn, optimizer, num_points,
     ``P(axis_name)``; XLA's SPMD partitioner propagates that sharding
     through the whole ELBO/gradient computation. ``batch_size`` must be a
     multiple of the mesh axis size.
+
+    ``state_shardings`` (optional): the sharding pytree of the input state
+    (e.g. from :func:`shard_factor_params`), pinned as the output sharding
+    so tensor-parallel parameter layouts survive the optimizer update
+    instead of depending on XLA's propagation choices.
     """
     static_kwargs = dict(static_kwargs or {})
     if batch_size % mesh.shape[axis_name] != 0:
@@ -62,8 +129,14 @@ def make_sharded_batched_train_step(loss_fn, optimizer, num_points,
             f"{axis_name}={mesh.shape[axis_name]}"
         )
     idx_sharding = NamedSharding(mesh, P(axis_name))
+    jit_kwargs = {}
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    if state_shardings is not None:
+        jit_kwargs["out_shardings"] = (state_shardings,
+                                       NamedSharding(mesh, P()))
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @functools.partial(jax.jit, **jit_kwargs)
     def step(state, *args):
         next_key, k_idx, k_sample = jax.random.split(state.key, 3)
         idx = jax.random.choice(
