@@ -36,10 +36,13 @@ def lower_cholesky(raw):
     (used at ``gp.py:220``): strictly-lower triangle kept as-is, diagonal
     mapped through ``exp``. Batched over leading dims.
     """
-    lower = jnp.tril(raw, k=-1)
-    diag = jnp.exp(jnp.diagonal(raw, axis1=-2, axis2=-1))
+    # Mask-based (no jnp.diagonal): extracting the diagonal of a large
+    # tiled (L, M, M) tensor lowers on TPU to a flat reshape + strided
+    # slice, forcing two full relayout copies (~36 ms/step for the 720 MB
+    # north-star Lu). where/tril are iota-compare selects that fuse.
     n = raw.shape[-1]
-    return lower + diag[..., None] * jnp.eye(n, dtype=raw.dtype)
+    eye = jnp.eye(n, dtype=bool)
+    return jnp.where(eye, jnp.exp(raw), jnp.tril(raw, k=-1))
 
 
 def lower_cholesky_inverse(chol):

@@ -78,10 +78,10 @@ class MultivariateNormalTril:
         sol = jax.scipy.linalg.solve_triangular(
             self.scale_tril, diff[..., None], lower=True
         )[..., 0]
+        from gpzoo_tpu.ops.linalg import tril_logdet
+
         m = self.loc.shape[-1]
-        half_logdet = jnp.sum(
-            jnp.log(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)), axis=-1
-        )
+        half_logdet = tril_logdet(self.scale_tril)
         return -0.5 * (jnp.sum(sol * sol, axis=-1) + m * _LOG_2PI) - half_logdet
 
 
@@ -131,10 +131,10 @@ def kl_mvn_mvn(q: MultivariateNormalTril, p: MultivariateNormalTril):
     diff = jnp.broadcast_to(diff, lq.shape[:-2] + diff.shape[-1:])
     b = jax.scipy.linalg.solve_triangular(lp, diff[..., None], lower=True)[..., 0]
     maha = jnp.sum(b * b, axis=-1)
+    from gpzoo_tpu.ops.linalg import tril_logdet
+
     m = lq.shape[-1]
-    logdet_p = jnp.sum(jnp.log(jnp.diagonal(lp, axis1=-2, axis2=-1)), axis=-1)
-    logdet_q = jnp.sum(jnp.log(jnp.diagonal(lq, axis1=-2, axis2=-1)), axis=-1)
-    return 0.5 * (trace + maha - m) + logdet_p - logdet_q
+    return 0.5 * (trace + maha - m) + tril_logdet(lp) - tril_logdet(lq)
 
 
 def kl_divergence(q, p):

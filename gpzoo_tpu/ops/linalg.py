@@ -46,6 +46,20 @@ def svgp_forward(kxx_diag, kzz, w, inducing_mean, inducing_cov):
     return mean, cov_diag
 
 
+def tril_logdet(l):
+    """``Σ log diag(L)`` over the trailing two dims, batched.
+
+    Mask-based instead of ``jnp.diagonal``: on TPU, diagonal extraction of
+    a tiled (L, M, M) tensor lowers to a flat reshape + strided slice —
+    two full relayout copies of the tensor (~36 ms/step for the 720 MB
+    north-star Lu). ``where(eye, L, 1)`` keeps everything an elementwise
+    fusion (log 1 = 0 off-diagonal; the 1-fill also keeps the backward of
+    ``log`` NaN-free off the diagonal).
+    """
+    eye = jnp.eye(l.shape[-1], dtype=bool)
+    return jnp.sum(jnp.log(jnp.where(eye, l, 1.0)), axis=(-2, -1))
+
+
 def whitened_kl(mz, lz):
     """Closed-form KL(N(m, LLᵀ) ‖ N(0, I)) (utilities.py:27-36).
 
@@ -53,10 +67,9 @@ def whitened_kl(mz, lz):
     the reference version is correct only for the unbatched 2-D case — this
     one reduces the trailing event dims so it also covers (L, M, M).
     """
-    lz_diag = jnp.diagonal(lz, axis1=-2, axis2=-1)
     m = lz.shape[-1]
     kl = (
-        -2.0 * jnp.sum(jnp.log(lz_diag), axis=-1)
+        -2.0 * tril_logdet(lz)
         + jnp.sum(jnp.square(lz), axis=(-2, -1))
         + jnp.sum(jnp.square(mz), axis=-1)
         - m

@@ -27,11 +27,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, softplus
 from gpzoo_tpu.gps.svgp import SVGP, WSVGP
-from gpzoo_tpu.ops.linalg import add_jitter, whitened_kl
+from gpzoo_tpu.ops.linalg import add_jitter, tril_logdet, whitened_kl
 
 
 def _matmul_kl(mu, lu, lzz):
@@ -53,9 +54,7 @@ def _matmul_kl(mu, lu, lzz):
     trace = jnp.einsum("ij,ljk,lik->l", k_inv, lu_l, lu_l)
     maha = jnp.einsum("lm,mk,lk->l", mu_l, k_inv, mu_l)
     logdet_p = jnp.sum(jnp.log(jnp.diagonal(lzz)))
-    logdet_q = jnp.sum(
-        jnp.log(jnp.diagonal(lu_l, axis1=-2, axis2=-1)), axis=-1
-    )
+    logdet_q = tril_logdet(lu_l)
     kl = jnp.sum(0.5 * (trace + maha - m_dim) + logdet_p - logdet_q)
     return kl, k_inv
 
@@ -340,4 +339,158 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         chunk_ll, *jax.tree_util.tree_map(lambda a: a[0], xs)
     ).dtype
     ll, _ = jax.lax.scan(body, jnp.zeros((), ll_dtype), xs)
+    return -(ll - kl)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-projection path: the frozen-Z/frozen-kernel configuration
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class NSFProjection:
+    """Step-invariant GP projection for frozen Z + frozen (shared) kernel.
+
+    The TPU-scale generalization of the reference's precomputed-W posterior
+    (``WSVGP.forward_precomputed``, gp.py:308-322): when the inducing
+    locations and kernel hyperparameters do not train — the north-star
+    Slideseq configuration (notebook cells 20, 25-26) — the Cholesky,
+    triangular solves and K⁻¹ are constants. A trace of the fused step
+    shows those XLA ``while`` loops cost ~95 ms of the 201 ms step at
+    L=20, M=3000, B=7000 (docs/PERFORMANCE.md); precomputing the full-N
+    projection once (ãᵀ is 540 MB at N=45k, M=3000) removes them.
+
+    Fields (all constants w.r.t. training):
+      proj_t — (N, M) spot-major projection rows: ã = K⁻¹Kzx (unwhitened)
+               or a = Lzz⁻¹Kzx (whitened), transposed so minibatch
+               gathers are contiguous row gathers,
+      a2     — (N,) column sums of a² (the posterior-variance subtrahend),
+      kxx    — kernel variance diag: scalar σ² or (L, 1),
+      k_inv  — (M, M) Kzz⁻¹ for the matmul-form KL (None when whitened),
+      logdet_lzz — Σ log diag Lzz (None when whitened),
+      whitened   — static parameterization flag.
+    """
+
+    proj_t: jnp.ndarray
+    a2: jnp.ndarray
+    kxx: jnp.ndarray
+    k_inv: jnp.ndarray = None
+    logdet_lzz: jnp.ndarray = None
+    whitened: bool = struct.field(pytree_node=False, default=False)
+
+
+def precompute_nsf_projection(model, x, block=None):
+    """Build :class:`NSFProjection` for ``model`` over all spots ``x``.
+
+    Requires a shared kernel across factors (the per-factor hyperparameters
+    are known-equal — the north-star init); asserts nothing, collapses to
+    factor 0 like ``shared_kernel=True``. ``block`` bounds the (M, block)
+    solve working set (default: one pass over all N).
+    """
+    gp = getattr(model, "prior", None)
+    if gp is None:
+        gp = model.gp
+    whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
+    kernel = _collapse_shared_kernel(gp.kernel)
+    m_dim = gp.Z.shape[0]
+    with jax.default_matmul_precision("highest"):
+        kzz = add_jitter(kernel.gram(gp.Z, gp.Z), gp.jitter)
+        lzz = jnp.linalg.cholesky(kzz)
+    n = x.shape[0]
+    block = n if block is None else block
+    rows, a2s = [], []
+    for s in range(0, n, block):
+        xb = x[s:s + block]
+        kzx = kernel.gram(gp.Z, xb)
+        with jax.default_matmul_precision("highest"):
+            a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
+            proj = a if whitened else jax.scipy.linalg.solve_triangular(
+                lzz, a, lower=True, trans=1
+            )
+        rows.append(proj.T)
+        a2s.append(jnp.sum(jnp.square(a), axis=0))
+    proj_t = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    a2 = jnp.concatenate(a2s) if len(a2s) > 1 else a2s[0]
+    k_inv = logdet = None
+    if not whitened:
+        with jax.default_matmul_precision("highest"):
+            k_inv = jax.scipy.linalg.cho_solve(
+                (lzz, True), jnp.eye(m_dim, dtype=lzz.dtype)
+            )
+        logdet = jnp.sum(jnp.log(jnp.diagonal(lzz)))
+    return NSFProjection(
+        proj_t=jax.block_until_ready(proj_t), a2=a2,
+        # variance diag of the ORIGINAL kernel: its (L, 1) shape carries
+        # the factor count into the qF batch shape (the collapsed copy
+        # above would flatten qF to one factor).
+        kxx=gp.kernel.variance_vector(), k_inv=k_inv, logdet_lzz=logdet,
+        whitened=whitened,
+    )
+
+
+def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
+                                  unnormalized=True, y_transposed=False):
+    """Minibatch −ELBO for NSF(SVGP/WSVGP) from a frozen projection —
+    identical math to ``negative_elbo_batched`` when Z and the kernel are
+    frozen (float64-verified in tests/test_fast.py), with zero per-step
+    Cholesky/solve work:
+
+        mean   = μ ãᵀ_b                             (one (L,M)×(M,B) matmul)
+        cov    = σ² − a²_b + colsum((Luᵀ ã_b)²)     (one L-batched matmul)
+        KL     = matmul form against the precomputed K⁻¹ / whitened KL
+
+    The reparameterization draws match ``Normal.sample(key, (E,))`` on the
+    (L, B) marginal bit-for-bit, so the loss trajectory is the generic
+    path's trajectory up to float reassociation.
+    """
+    gp = getattr(model, "prior", None)
+    if gp is None:
+        gp = model.gp
+    lu = lower_cholesky(gp.Lu_raw)
+    lu_l = lu if lu.ndim == 3 else lu[None]
+    mu_l = jnp.atleast_2d(jnp.asarray(gp.mu))
+    m_dim = lu.shape[-1]
+
+    pt = proj.proj_t[idx]  # (B, M) contiguous row gather
+    at = pt.T  # (M, B): the dot-friendly orientation (one 84 MB relayout
+    # beats XLA transposing the 720 MB lu operand inside the big fusion)
+    with jax.default_matmul_precision("highest"):
+        mean = jnp.einsum("lm,mb->lb", mu_l, at)
+    c = jnp.einsum("lkm,kb->lmb", lu_l, at)
+    c2 = jnp.sum(jnp.square(c), axis=-2)  # (L, B)
+    base = jnp.asarray(proj.kxx) - proj.a2[idx]  # (B,) or (L, B)
+    if proj.whitened:
+        cov = jnp.clip(base, min=0.0) + c2
+    else:
+        cov = jnp.clip(base + c2, min=getattr(gp, "var_floor", 1e-6))
+    mean, cov = jnp.broadcast_arrays(mean, cov)
+    scale = jnp.sqrt(cov)
+
+    eps = jax.random.normal(key, (E,) + mean.shape, dtype=mean.dtype)
+    f = mean + scale * eps  # (E, L, B)
+    rate = softplus(model.V_raw[idx]) * jnp.einsum(
+        "dl,eln->edn", softplus(model.W_raw), jnp.exp(f)
+    )
+    py = dists.Poisson(rate)
+    yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
+    lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
+    ll = jnp.sum(jnp.mean(lp, axis=0))
+
+    if proj.whitened:
+        kl = jnp.sum(whitened_kl(gp.mu, lu))
+    else:
+        trace = jnp.einsum("ij,ljk,lik->l", proj.k_inv, lu_l, lu_l)
+        maha = jnp.einsum("lm,mk,lk->l", mu_l, proj.k_inv, mu_l)
+        # log diag(Lu) = diag(Lu_raw) exactly (exp-diag bijector): a masked
+        # sum of the raw tensor — no diagonal extraction, no log.
+        raw_l = gp.Lu_raw if gp.Lu_raw.ndim == 3 else gp.Lu_raw[None]
+        eye = jnp.eye(m_dim, dtype=bool)
+        logdet_q = jnp.sum(jnp.where(eye, raw_l, 0.0), axis=(-2, -1))
+        kl_terms = (
+            0.5 * (trace + maha - m_dim) + proj.logdet_lzz - logdet_q
+        )
+        # the generic path broadcasts qU against the L-batched prior
+        # (kl_divergence(qu, pu) with pu batch = kernel L): with shared
+        # mu/Lu there are still n_factors identical KL terms.
+        n_factors = mean.shape[0]
+        kl = jnp.sum(kl_terms) * (n_factors // kl_terms.shape[0])
     return -(ll - kl)

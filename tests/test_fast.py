@@ -230,3 +230,88 @@ def test_vnngp_fast_loss_matches_generic(key, rng):
         shared_kernel=True, y_transposed=True,
     )
     assert float(fast_t) == pytest.approx(float(ref), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-projection path (frozen Z + frozen shared kernel)
+# ---------------------------------------------------------------------------
+
+from gpzoo_tpu.train.fast import (  # noqa: E402
+    precompute_nsf_projection,
+    nsf_negative_elbo_precomputed,
+)
+
+
+def _trainable_leaves(g):
+    """The leaves the precomputed path trains (Z/kernel are frozen
+    constants there, so generic-path grads for them are ignored)."""
+    return {
+        "mu": g.prior.mu, "Lu_raw": g.prior.Lu_raw,
+        "W_raw": g.W_raw, "V_raw": g.V_raw,
+    }
+
+
+def test_precomputed_value_matches_generic(setup):
+    model, x, y, idx, key = setup
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    proj = precompute_nsf_projection(model, x)
+    fast = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+    # blockwise precompute is the same projection
+    proj_b = precompute_nsf_projection(model, x, block=77)
+    fast_b = nsf_negative_elbo_precomputed(model, proj_b, y, idx, key, E=2)
+    assert float(fast_b) == pytest.approx(float(ref), rel=1e-9)
+
+
+def test_precomputed_gradients_match_generic(setup):
+    model, x, y, idx, key = setup
+    proj = precompute_nsf_projection(model, x)
+    g_ref = jax.grad(
+        lambda m: negative_elbo_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_pre = jax.grad(
+        lambda m: nsf_negative_elbo_precomputed(m, proj, y, idx, key, E=2)
+    )(model)
+    ref_leaves = _trainable_leaves(g_ref)
+    pre_leaves = _trainable_leaves(g_pre)
+    for name in ref_leaves:
+        np.testing.assert_allclose(
+            np.asarray(pre_leaves[name]), np.asarray(ref_leaves[name]),
+            rtol=1e-7, atol=1e-9, err_msg=name,
+        )
+
+
+def test_precomputed_per_factor_northstar_layout(key):
+    """The north-star parameter layout: per-factor (L, M) mu and
+    (L, M, M) Lu, y spot-major."""
+    N, D, L, M = 200, 15, 4, 24
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=N, D=D, L=L)
+    x = jnp.asarray(coords, jnp.float64)
+    y_t = jnp.asarray(counts, jnp.float64).T  # (N, D) spot-major
+    model = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M).build(key, x)
+    idx = jax.random.choice(jax.random.PRNGKey(1), N, (48,), replace=False)
+    ref = negative_elbo_batched(model, x, y_t.T, idx, key, E=1)
+    proj = precompute_nsf_projection(model, x)
+    fast = nsf_negative_elbo_precomputed(model, proj, y_t, idx, key, E=1,
+                                         y_transposed=True)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+
+
+def test_precomputed_whitened(key):
+    """WSVGP prior: proj stores a = Lzz^-1 Kzx and the whitened KL."""
+    from gpzoo_tpu import gps, kernels, models
+
+    N, D, L, M = 150, 10, 3, 16
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=N, D=D, L=L)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    kern = kernels.NSFRBF.create(sigma=1.0, lengthscale=1.0, L=L)
+    gp = gps.WSVGP.create(jax.random.PRNGKey(2), kern, dim=2, M=M,
+                          jitter=1e-1)
+    model = models.NSF.create(jax.random.PRNGKey(3), gp, D, N, L=L)
+    idx = jax.random.choice(jax.random.PRNGKey(4), N, (32,), replace=False)
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    proj = precompute_nsf_projection(model, x)
+    assert proj.whitened and proj.k_inv is None
+    fast = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-9)
