@@ -45,6 +45,7 @@ from gpzoo_tpu import (
     parallel,
     predict,
     utils,
+    warmstart,
 )
 from gpzoo_tpu.configs import (
     SVGPRegressionConfig,
@@ -67,6 +68,7 @@ __all__ = [
     "parallel",
     "predict",
     "utils",
+    "warmstart",
     "SVGPRegressionConfig",
     "PNMFConfig",
     "NSFConfig",

@@ -154,6 +154,12 @@ class HybridNSF:
         return py, qf1, qu, pu, qf2, pf2
 
     def batched(self, x, idx, key, E=10, **kwargs):
+        # groups_x (multi-group sf prior) is passed FULL-length like
+        # MGGP_NSF.batched and sliced here — the reference's caller-side
+        # slice (notebook `groupsX=groupsX[idx]`) can't work when idx is
+        # sampled inside the jitted step.
+        if kwargs.get("groups_x") is not None:
+            kwargs = dict(kwargs, groups_x=kwargs["groups_x"][idx])
         k1, k2 = jax.random.split(key)
         qf1, qu, pu = self.sf.prior(x[idx], **kwargs)
         qf2, pf2 = self.cf.prior.batched(idx)
