@@ -1,5 +1,10 @@
 """NMF warm-start utilities (utilities.py:158-170, 253-375, 50-68).
 
+Like the reference block it mirrors, this is adapted from the original
+NSF paper's code (Townes & Engelhardt,
+https://github.com/willtownes/nsf-paper — the attribution the reference
+carries at utilities.py:46-48); the math is pinned by parity tests.
+
 Used to initialize NSF factor means from a regularized sklearn NMF
 (``NSF_Hybrid_benchmark.ipynb (cell 7)``) and to smooth factors onto
 inducing locations. Host-side numpy/sklearn code — runs once before

@@ -2,7 +2,8 @@
 
 Numpy-side counterparts of the reference's data-prep block
 (``utilities.py:71-129``, itself adapted from the Townes/Engelhardt
-nsf-paper). The reference defines these twice with drift (utilities.py:173-
+nsf-paper, https://github.com/willtownes/nsf-paper — the attribution the
+reference carries at utilities.py:46-48). The reference defines these twice with drift (utilities.py:173-
 375 shadows :46-170; SURVEY.md §2.6) — one canonical version lives here,
 and we keep the *first* definition's behavior of populating ``Dval["idx"]``.
 
