@@ -187,7 +187,17 @@ def main():
                         "measured), 'pre' = precomputed-projection step "
                         "(12.4; no per-step solves but a slower backward "
                         "c-dot fusion — see docs/PERFORMANCE.md)")
+    p.add_argument("--verify", action="store_true",
+                   help="run the on-device Pallas kernel verification + "
+                        "A/B timing harness (benchmarks/pallas_ab.py) "
+                        "instead of the throughput bench")
     args = p.parse_args()
+
+    if args.verify:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import pallas_ab
+        sys.exit(pallas_ab.main(["--no-time"] if args.quick else []))
 
     if args.quick:
         shapes = dict(N=2000, D=100, L=20, M=256, batch=512)
