@@ -182,11 +182,12 @@ def main():
     p.add_argument("--steps-per-chunk", type=int, default=20)
     p.add_argument("--chunks", type=int, default=3)
     p.add_argument("--microbatch", type=int, default=None)
-    p.add_argument("--loss", choices=("pre", "fast"), default="fast",
-                   help="'fast' = per-step blockwise path (15.7 steps/s "
-                        "measured), 'pre' = precomputed-projection step "
-                        "(12.4; no per-step solves but a slower backward "
-                        "c-dot fusion — see docs/PERFORMANCE.md)")
+    p.add_argument("--loss", choices=("pre", "fast"), default="pre",
+                   help="'pre' = precomputed-projection step (24.4 steps/s "
+                        "measured — no per-step solves, panel-blocked "
+                        "triangular contractions), 'fast' = per-step "
+                        "blockwise path (18.0; needed when Z or the "
+                        "kernel train — see docs/PERFORMANCE.md)")
     p.add_argument("--verify", action="store_true",
                    help="run the on-device Pallas kernel verification + "
                         "A/B timing harness (benchmarks/pallas_ab.py) "

@@ -41,20 +41,25 @@ def _on_tpu():
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _fetch(out):
+    """Force completion by fetching a scalar — block_until_ready alone
+    under-syncs through the TPU tunnel (docs/PERFORMANCE.md note)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+
 def _timeit(fn, *args, iters=20, warmup=2):
-    """Median ms/call. Chained dispatch + one terminal block_until_ready
-    (bare per-call block_until_ready under-syncs through the TPU tunnel —
-    docs/PERFORMANCE.md microbenchmark note)."""
+    """Mean ms/call: chained dispatch, terminal value fetch. The device
+    serializes the chained calls, so elapsed/iters is per-call time."""
     jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)  # compile
+    _fetch(jfn(*args))  # compile
     for _ in range(warmup):
         out = jfn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -165,18 +170,47 @@ def verify(failures, interpret):
     )
 
     # --- triangular contraction -------------------------------------------
-    try:
-        from gpzoo_tpu.ops import tri_pallas
-    except ImportError:
-        return
-    Lb, mm, bb = 4, 512, 640
+    from gpzoo_tpu.ops import tri_blocked, tri_pallas
+
+    Lb, mm, bb = 4, 700, 640
     lu = jnp.tril(jax.random.normal(jax.random.PRNGKey(50), (Lb, mm, mm)))
     a = jax.random.normal(jax.random.PRNGKey(51), (mm, bb))
+    # bf16 MXU tiles: oracle rounds operands to bf16 and tril-masks lu so
+    # its autodiff gradient matches the kernel's tril gradient contract
+    # (see tri_pallas.tri_t_matmul docstring).
+    bf = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    # explicit tiles: blocks must not exceed the array dims (the
+    # production dispatch gates m ≥ 2·TM, b ≥ TB for the same reason)
     _check(
         "tri_pallas.tri_t_matmul",
-        lambda *w: tri_pallas.tri_t_matmul(*w, interpret=interpret),
-        lambda l_, a_: jnp.einsum("lkm,kb->lmb", l_, a_),
+        lambda l_, a_: tri_pallas.tri_t_matmul(l_, a_, interpret,
+                                               256, 256, 256),
+        lambda l_, a_: jnp.einsum(
+            "lkm,kb->lmb", jnp.tril(bf(l_)), bf(a_),
+            precision=jax.lax.Precision.HIGHEST),
+        (lu, a), 5e-3, failures,
+    )
+    # tril on the lu input of BOTH sides: the blocked forms never read
+    # the structural-zero entries (their grad is zero by construction),
+    # matching autodiff through the lower_cholesky bijector; the dense
+    # oracle needs the explicit tril for its grads to carry the same mask.
+    _check(
+        "tri_blocked.tri_sq_colsum",
+        lambda l_, a_: tri_blocked.tri_sq_colsum(jnp.tril(l_), a_,
+                                                 panels=4),
+        lambda l_, a_: jnp.sum(jnp.square(
+            jnp.einsum("lkm,kb->lmb", jnp.tril(l_), a_)), axis=-2),
         (lu, a), 5e-5, failures,
+    )
+    kinv_r = jax.random.normal(jax.random.PRNGKey(52), (mm, mm)) * 0.1
+    kinv = kinv_r @ kinv_r.T + jnp.eye(mm)
+    _check(
+        "tri_blocked.tri_kl_trace",
+        lambda k_, l_: tri_blocked.tri_kl_trace(k_, jnp.tril(l_),
+                                                panels=4),
+        lambda k_, l_: jnp.einsum("ij,ljk,lik->l", k_, jnp.tril(l_),
+                                  jnp.tril(l_)),
+        (kinv, lu), 5e-5, failures,
     )
 
 
@@ -226,21 +260,37 @@ def time_ab():
         kzz, s, kxz, mu, kxx)
     rows.append(("block_conditional", f"N={npts} K={k}", t_x, t_p))
 
-    try:
-        from gpzoo_tpu.ops import tri_pallas
-        Lb, mm, bb = 20, 3000, 7000
-        lu = jnp.tril(
-            jax.random.normal(jax.random.PRNGKey(8), (Lb, mm, mm)))
-        a = jax.random.normal(jax.random.PRNGKey(9), (mm, bb))
-        t_p = _timeit(tri_pallas.tri_t_matmul, lu, a, iters=5)
-        t_x = _timeit(lambda l_, a_: jnp.einsum("lkm,kb->lmb", l_, a_),
-                      lu, a, iters=5)
-        rows.append(("tri_t_matmul", f"L={Lb} M={mm} B={bb}", t_x, t_p))
-    except ImportError:
-        pass
+    from gpzoo_tpu.ops import tri_blocked, tri_pallas
 
-    log(f"\n  {'kernel':20s} {'shape':22s} {'XLA ms':>8s} {'Pallas ms':>10s}"
-        f" {'speedup':>8s}")
+    Lb, mm, bb = 20, 3000, 7000
+    lu = jnp.tril(
+        jax.random.normal(jax.random.PRNGKey(8), (Lb, mm, mm)))
+    a = jax.random.normal(jax.random.PRNGKey(9), (mm, bb))
+    t_p = _timeit(tri_pallas.tri_t_matmul, lu, a, iters=5)
+    t_x = _timeit(lambda l_, a_: jnp.einsum("lkm,kb->lmb", l_, a_),
+                  lu, a, iters=5)
+    rows.append(("tri_t_matmul", f"L={Lb} M={mm} B={bb}", t_x, t_p))
+
+    # The production triangular path: panel-blocked XLA (vs dense XLA),
+    # forward and forward+backward(Lu) of the variance colsum term.
+    def sq_dense(l_, a_):
+        return jnp.sum(jnp.square(
+            jnp.einsum("lkm,kb->lmb", l_, a_)), axis=-2)
+
+    t_b = _timeit(tri_blocked.tri_sq_colsum, lu, a, iters=5)
+    t_d = _timeit(sq_dense, lu, a, iters=5)
+    rows.append(("tri_sq_colsum fwd", f"L={Lb} M={mm} B={bb}", t_d, t_b))
+    g2 = jax.random.normal(jax.random.PRNGKey(10), (Lb, bb))
+    t_b = _timeit(jax.grad(
+        lambda l_: jnp.sum(g2 * tri_blocked.tri_sq_colsum(l_, a))),
+        lu, iters=5)
+    t_d = _timeit(jax.grad(
+        lambda l_: jnp.sum(g2 * sq_dense(l_, a))), lu, iters=5)
+    rows.append(("tri_sq_colsum f+b", f"L={Lb} M={mm} B={bb}", t_d, t_b))
+
+    log(f"\n  {'kernel':20s} {'shape':22s} {'base ms':>8s} {'opt ms':>10s}"
+        f" {'speedup':>8s}  (base = dense/unblocked XLA, opt = Pallas or"
+        f" blocked)")
     for name, shape, t_x, t_p in rows:
         log(f"  {name:20s} {shape:22s} {t_x:8.2f} {t_p:10.2f}"
             f" {t_x / t_p:7.2f}x")

@@ -1,0 +1,95 @@
+"""Panel-blocked triangular contractions (pure XLA).
+
+The north-star step's dominant FLOPs multiply structural zeros: the
+variational Cholesky factor Lu is lower-triangular, but XLA's einsum
+cannot exploit that — `c = Luᵀã` and the KL trace `tr(K⁻¹ Lu Luᵀ)` run
+as dense contractions. Cutting the M axis into P panels and skipping the
+strictly-upper panel pairs recovers most of the triangular saving with
+plain XLA dots, which keeps every property the fast path relies on
+(float64 parity on CPU, autodiff, vmap/shard_map, no Mosaic surface):
+
+    FLOPs(c)      → (P+1)/2P of dense      (P=6: 58%)
+    FLOPs(trace)  → ≈ Σ (P−p)²/P³ of dense (P=4: 47%)
+
+Measured on v5e at the north-star shape (L=20, M=3000, B=7000), mean of
+chained jitted calls (see benchmarks/pallas_ab.py):
+
+    sq-colsum fwd        : dense 17.8 ms → blocked(P=6) 11.6 ms
+    sq-colsum fwd+bwd(Lu): dense 47.6 ms → blocked(P=6) 26.6 ms
+
+A Pallas tile-skipping kernel of the same contraction
+(`ops/tri_pallas.py`) only ties dense XLA (~17 ms — per-grid-step
+overhead eats the skip), so this blocked XLA form is the production
+path; the Pallas kernel is kept measured-but-off, like the Gram kernels.
+
+Values equal the dense einsum up to float reassociation (the panel sums
+reassociate the k-reduction); same matmul precision class as the dense
+call sites (caller's default).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Panel count for the M (inducing points) axis. Diminishing returns past
+# ~6 (measured: P=6 edges P=4/P=8 on v5e); more panels = more dispatches.
+PANELS = 6
+
+# Below this M the contraction is dispatch-bound and blocking only adds
+# launches (also keeps tiny CPU test shapes on the single-dot path).
+MIN_DIM = 1024
+
+
+def _bounds(m, panels):
+    edges = [round(m * p / panels) for p in range(panels + 1)]
+    return [(s, e) for s, e in zip(edges[:-1], edges[1:]) if e > s]
+
+
+def tri_sq_colsum(lu, a, panels=None):
+    """Σ_m (Σ_k lu[..., k, m] a[..., k, b])² — the posterior-variance
+    term colsum((Luᵀã)²) — skipping the strictly-upper (k < m) panels of
+    the lower-triangular lu.
+
+    lu: (..., M, M) lower-triangular; a: (..., M, B) broadcast-compatible
+    in the leading dims (the shared-kernel fast path passes lu (L, M, M)
+    with a (M, B)). Returns (..., B) like
+    ``jnp.sum(jnp.square(jnp.einsum("...km,...kn->...mn", lu, a)), -2)``
+    up to reassociation roundoff.
+    """
+    m_dim = lu.shape[-1]
+    if panels is None:
+        panels = PANELS if m_dim >= MIN_DIM else 1
+    if panels <= 1:
+        c = jnp.einsum("...km,...kn->...mn", lu, a)
+        return jnp.sum(jnp.square(c), axis=-2)
+    out = None
+    for s, e in _bounds(m_dim, panels):
+        # output rows m ∈ [s, e) only see k ≥ s
+        c_p = jnp.einsum("...km,...kn->...mn",
+                         lu[..., s:, s:e], a[..., s:, :])
+        term = jnp.sum(jnp.square(c_p), axis=-2)
+        out = term if out is None else out + term
+    return out
+
+
+def tri_kl_trace(k_inv, lu, panels=None):
+    """tr(K⁻¹ Lu Luᵀ) per leading batch index, panel-blocked: column
+    panel k ∈ [s, e) of the lower-triangular Lu only touches the
+    trailing (M−s)×(M−s) block of K⁻¹ — ≈ 1/3 of the dense FLOPs.
+
+    k_inv: (M, M) shared; lu: (L, M, M) or (M, M). Returns (L,) (or
+    scalar-shaped (1,)-batch semantics identical to the dense einsum
+    ``einsum("ij,ljk,lik->l", k_inv, lu, lu)``).
+    """
+    lu_l = lu if lu.ndim == 3 else lu[None]
+    m_dim = lu_l.shape[-1]
+    if panels is None:
+        panels = PANELS if m_dim >= MIN_DIM else 1
+    if panels <= 1:
+        return jnp.einsum("ij,ljk,lik->l", k_inv, lu_l, lu_l)
+    out = None
+    for s, e in _bounds(m_dim, panels):
+        term = jnp.einsum("ij,ljk,lik->l", k_inv[s:, s:],
+                          lu_l[:, s:, s:e], lu_l[:, s:, s:e])
+        out = term if out is None else out + term
+    return out

@@ -138,3 +138,98 @@ def test_vnngp_block_conditional_gradients(rng):
     for a_, b_ in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Triangular contraction: Pallas kernel (interpret) + blocked-XLA panels
+# ---------------------------------------------------------------------------
+
+def _tri_operands(rng, L=2, M=200, B=260):
+    lu = jnp.tril(jnp.asarray(
+        rng.standard_normal((L, M, M)).astype(np.float32)))
+    a = jnp.asarray(rng.standard_normal((M, B)).astype(np.float32))
+    return lu, a
+
+
+def test_tri_t_matmul_matches_einsum(rng):
+    from gpzoo_tpu.ops import tri_pallas
+
+    lu, a = _tri_operands(rng)
+    got = tri_pallas.tri_t_matmul(lu, a, True, 128, 128, 128)
+    # kernel computes in bf16 operands / f32 accumulation
+    bf = lambda t: t.astype(jnp.bfloat16).astype(jnp.float32)
+    expect = jnp.einsum("lkm,kb->lmb", bf(lu), bf(a))
+    scale = float(jnp.max(jnp.abs(expect)))
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(expect) / scale, atol=5e-3)
+
+
+def test_tri_t_matmul_gradients(rng):
+    from gpzoo_tpu.ops import tri_pallas
+
+    lu, a = _tri_operands(rng, M=130, B=140)
+    g = jnp.asarray(rng.standard_normal(
+        (lu.shape[0], 130, 140)).astype(np.float32))
+
+    def loss_p(lu, a):
+        return jnp.sum(g * tri_pallas.tri_t_matmul(lu, a, True,
+                                                   128, 128, 128))
+
+    def loss_x(lu, a):
+        # tril on lu so the oracle's grad matches the tril contract
+        return jnp.sum(g * jnp.einsum("lkm,kb->lmb", jnp.tril(lu), a))
+
+    gp = jax.grad(loss_p, (0, 1))(lu, a)
+    gx = jax.grad(loss_x, (0, 1))(lu, a)
+    for got, expect in zip(gp, gx):
+        scale = float(jnp.max(jnp.abs(expect)))
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(expect) / scale, atol=5e-3)
+
+
+def test_tri_blocked_sq_colsum(rng):
+    from gpzoo_tpu.ops import tri_blocked
+
+    lu, a = _tri_operands(rng)
+    got = tri_blocked.tri_sq_colsum(lu, a, panels=3)
+    expect = jnp.sum(jnp.square(jnp.einsum("lkm,kb->lmb", lu, a)), axis=-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4)
+    # gradient parity under the tril contract: the blocked form never
+    # reads the structural-zero entries (zero grads there, matching
+    # autodiff through the lower_cholesky bijector) — compare through an
+    # explicit tril so the dense oracle carries the same mask
+    g2 = jnp.asarray(rng.standard_normal(got.shape).astype(np.float32))
+    gb = jax.grad(lambda l_: jnp.sum(
+        g2 * tri_blocked.tri_sq_colsum(jnp.tril(l_), a, panels=3)))(lu)
+    gd = jax.grad(lambda l_: jnp.sum(g2 * jnp.sum(jnp.square(
+        jnp.einsum("lkm,kb->lmb", jnp.tril(l_), a)), axis=-2)))(lu)
+    scale = float(jnp.max(jnp.abs(gd)))
+    np.testing.assert_allclose(np.asarray(gb) / scale,
+                               np.asarray(gd) / scale, atol=1e-5)
+
+
+def test_tri_blocked_kl_trace(rng):
+    from gpzoo_tpu.ops import tri_blocked
+
+    lu, _ = _tri_operands(rng)
+    r = rng.standard_normal((200, 200)).astype(np.float32) * 0.1
+    k_inv = jnp.asarray(r @ r.T + np.eye(200, dtype=np.float32))
+    got = tri_blocked.tri_kl_trace(k_inv, lu, panels=3)
+    expect = jnp.einsum("ij,ljk,lik->l", k_inv, lu, lu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4)
+
+
+def test_tri_blocked_batched_a(rng):
+    """L-batched a (the non-shared chunk path layout)."""
+    from gpzoo_tpu.ops import tri_blocked
+
+    lu, _ = _tri_operands(rng)
+    a = jnp.asarray(rng.standard_normal(
+        (lu.shape[0], 200, 70)).astype(np.float32))
+    got = tri_blocked.tri_sq_colsum(lu, a, panels=3)
+    expect = jnp.sum(jnp.square(
+        jnp.einsum("lkm,lkn->lmn", lu, a)), axis=-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4)
