@@ -1,0 +1,89 @@
+"""PNMF on toy shape images (reference: Fake_nmf.ipynb — probabilistic
+NMF recovering a dictionary of binary shape components from Poisson
+count images; pixels play the role of spots).
+
+Trains `PNMF` (mean-field GaussianPrior + Poisson factorization head) on
+D images over a side×side pixel grid and reports how well the learned
+exp-factors align with the true part dictionary (best-match correlation
+per part).
+
+Run: python examples/pnmf_images.py [--steps 3000] [--side 16] [--d 80]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gpzoo_tpu as gz
+from gpzoo_tpu.train import TrainState, make_scan_runner, make_train_step
+from gpzoo_tpu.train.elbo import pnmf_negative_elbo
+
+
+def match_parts(factors, parts):
+    """Best-match Pearson correlation of each true part against the
+    learned factors (greedy, without replacement)."""
+    f = factors - factors.mean(axis=1, keepdims=True)
+    p = parts - parts.mean(axis=1, keepdims=True)
+    corr = (p @ f.T) / (
+        np.linalg.norm(p, axis=1)[:, None]
+        * np.linalg.norm(f, axis=1)[None, :] + 1e-12
+    )
+    out, used = [], set()
+    for i in range(parts.shape[0]):
+        j = int(np.argmax(np.where(
+            [k in used for k in range(corr.shape[1])], -np.inf, corr[i])))
+        used.add(j)
+        out.append(corr[i, j])
+    return np.asarray(out)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--side", type=int, default=16)
+    p.add_argument("--d", type=int, default=80)
+    p.add_argument("--l", type=int, default=4)
+    args = p.parse_args()
+
+    key = jax.random.PRNGKey(0)
+    coords, counts, parts = gz.data.simulate_shape_images(
+        D=args.d, side=args.side)
+    n_pix = counts.shape[1]
+    y = jnp.asarray(counts)
+
+    cfg = gz.PNMFConfig(D=args.d, N=n_pix, L=args.l)
+    model = cfg.build(key)
+    opt = cfg.optimizer()
+    state = TrainState.create(model, opt, key)
+
+    step = make_train_step(
+        lambda m, y, key: pnmf_negative_elbo(m, y, key, E=cfg.E), opt
+    )
+    chunk = min(200, args.steps)
+    runner = make_scan_runner(step, chunk)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        state, losses = runner(state, y)
+        done += chunk
+    final = float(losses[-1])
+    print(f"{done} steps in {time.perf_counter()-t0:.1f}s, "
+          f"loss {final:.4e}")
+
+    factors = np.exp(np.asarray(state.model.prior.mean))  # (L, n_pix)
+    corr = match_parts(factors, parts)
+    print("part recovery correlations:", np.round(corr, 3))
+    assert np.all(corr > 0.5), "shape dictionary not recovered"
+    print("OK — all parts recovered (corr > 0.5)")
+
+
+if __name__ == "__main__":
+    main()

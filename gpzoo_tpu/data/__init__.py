@@ -13,7 +13,8 @@ from gpzoo_tpu.data.nmf_init import (
 )
 from gpzoo_tpu.data.metrics import morans_i, dims_autocorr
 from gpzoo_tpu.data.io import read_h5ad, load_train_val
-from gpzoo_tpu.data.sim import simulate_nsf_counts, simulate_1d_regression
+from gpzoo_tpu.data.sim import (simulate_nsf_counts, simulate_1d_regression,
+                                simulate_shape_images)
 
 __all__ = [
     "rescale_spatial_coords",
@@ -31,4 +32,5 @@ __all__ = [
     "dims_autocorr",
     "simulate_nsf_counts",
     "simulate_1d_regression",
+    "simulate_shape_images",
 ]

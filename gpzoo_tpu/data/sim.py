@@ -60,3 +60,35 @@ def simulate_nsf_counts(seed=0, N=2000, D=80, L=4, mean_counts=10.0):
     rate *= mean_counts / rate.mean()
     counts = rng.poisson(rate).astype(np.float32)
     return coords.astype(np.float32), counts, log_f
+
+
+def simulate_shape_images(seed=0, D=80, side=16, mean_counts=6.0):
+    """Count images mixing a dictionary of binary shape components —
+    the toy-image NMF workload (reference ``Fake_nmf.ipynb``: PNMF on
+    synthetic shape images; pixels play the role of spots).
+
+    Three part-shapes on a ``side × side`` canvas: a filled square
+    (top-left), a cross (center), and a diagonal stripe. Each of the D
+    images activates a random nonnegative mix of the parts; pixels are
+    Poisson counts around the mixed intensity.
+
+    Returns (coords (side², 2) float32 pixel grid coordinates, counts
+    (D, side²) float32, parts (3, side²) float64 binary dictionary) —
+    same (samples × pixels) orientation as the reference notebook's
+    data matrix.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:side, 0:side]
+    q = side // 4
+    square = (xx < 2 * q) & (yy < 2 * q)
+    cross = ((np.abs(xx - side // 2) <= 1) | (np.abs(yy - side // 2) <= 1))
+    stripe = np.abs(xx - yy) <= 1
+    parts = np.stack([square, cross, stripe]).reshape(3, -1).astype(
+        np.float64)  # (3, side²)
+    w = rng.gamma(0.5, 1.0, size=(D, 3))  # nonnegative mixes
+    rate = w @ (0.1 + parts)  # (D, side²)
+    rate *= mean_counts / rate.mean()
+    counts = rng.poisson(rate).astype(np.float32)
+    coords = np.stack([xx.reshape(-1), yy.reshape(-1)],
+                      axis=1).astype(np.float32)
+    return coords, counts, parts

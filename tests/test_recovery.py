@@ -144,3 +144,35 @@ def test_lbfgs_closure_equivalent(key):
         )
         params = optax.apply_updates(params, updates)
     assert float(loss(params)) < float(loss(model))
+
+
+def test_pnmf_recovers_shape_dictionary(key):
+    """Toy-image NMF (reference Fake_nmf.ipynb): PNMF recovers the
+    binary shape parts from Poisson count images."""
+    import numpy as np
+
+    coords, counts, parts = gz.data.simulate_shape_images(D=60, side=12)
+    y = jnp.asarray(counts)
+    cfg = gz.PNMFConfig(D=60, N=counts.shape[1], L=3, E=5)
+    model = cfg.build(key)
+    opt = cfg.optimizer()
+
+    from gpzoo_tpu.train import TrainState, make_scan_runner, make_train_step
+    from gpzoo_tpu.train.elbo import pnmf_negative_elbo
+
+    state = TrainState.create(model, opt, key)
+    step = make_train_step(
+        lambda m, yy, key: pnmf_negative_elbo(m, yy, key, E=cfg.E), opt
+    )
+    runner = make_scan_runner(step, 300)
+    for _ in range(4):
+        state, losses = runner(state, y)
+    factors = np.exp(np.asarray(state.model.prior.mean))  # (L, n_pix)
+    f = factors - factors.mean(axis=1, keepdims=True)
+    p = parts - parts.mean(axis=1, keepdims=True)
+    corr = (p @ f.T) / (
+        np.linalg.norm(p, axis=1)[:, None]
+        * np.linalg.norm(f, axis=1)[None, :] + 1e-12
+    )
+    # each true part matched by some factor
+    assert np.all(corr.max(axis=1) > 0.5), corr.max(axis=1)
