@@ -43,61 +43,63 @@ def log(*a):
 
 def _train_chunked(state, runner, x, y, steps, chunk):
     """Run `steps` steps in scan-fused chunks; returns (state, wall_s,
-    final_loss) with the first (compile) chunk excluded from timing."""
+    steps_timed, final_loss). The first (compile) chunk is excluded from
+    timing, and at least one further chunk is always timed (so short
+    --steps runs still measure real device work)."""
     state, losses = runner(state, x, y)
-    jax.block_until_ready(losses)
+    # value fetch, not block_until_ready: the latter under-syncs through
+    # the TPU tunnel and would let compile-chunk work drain into the
+    # timed region
+    float(losses[-1])
+    timed_chunks = max(1, -(-(steps - chunk) // chunk))
     t0 = time.perf_counter()
-    done = chunk
-    while done < steps:
+    for _ in range(timed_chunks):
         state, losses = runner(state, x, y)
-        done += chunk
-    # value fetch: block_until_ready under-syncs through the TPU tunnel
     final = float(losses[-1])
     wall = time.perf_counter() - t0
-    return state, wall, max(done - chunk, chunk), final
+    return state, wall, timed_chunks * chunk, final
+
+
+def _run_config(cfg, steps, chunk, workload, sim_kwargs, extra_fields):
+    """Shared runner: simulate → build → train → record."""
+    import gpzoo_tpu as gz
+    from gpzoo_tpu.train import (TrainState, make_scan_runner,
+                                 make_train_step, negative_elbo)
+
+    key = jax.random.PRNGKey(0)
+    coords, counts, _ = gz.data.simulate_nsf_counts(**sim_kwargs)
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    model = cfg.build(key, X=x)
+    opt = cfg.optimizer()
+    state = TrainState.create(model, opt, key)
+    step = make_train_step(negative_elbo, opt, static_kwargs={"E": cfg.E})
+    runner = make_scan_runner(step, chunk)
+    state, wall, timed, final = _train_chunked(state, runner, x, y,
+                                               steps, chunk)
+    rec = {"workload": workload, "N": cfg.N, "D": cfg.D, "L": cfg.L,
+           "M": cfg.M, "E": cfg.E, "sim_L": sim_kwargs.get("L", 4),
+           "steps_timed": timed, "wall_s": wall,
+           "steps_per_sec": timed / wall, "final_loss": final}
+    rec.update(extra_fields)
+    return state, rec
 
 
 def run_nsf(M, steps, chunk):
     import gpzoo_tpu as gz
-    from gpzoo_tpu.train import (TrainState, make_scan_runner,
-                                 make_train_step, negative_elbo)
 
-    key = jax.random.PRNGKey(0)
-    coords, counts, _ = gz.data.simulate_nsf_counts(N=800, D=80, L=4)
-    x, y = jnp.asarray(coords), jnp.asarray(counts)
     cfg = gz.NSFConfig(D=80, N=800, L=4, M=M)
-    model = cfg.build(key, X=x)
-    opt = cfg.optimizer()
-    state = TrainState.create(model, opt, key)
-    step = make_train_step(negative_elbo, opt, static_kwargs={"E": cfg.E})
-    runner = make_scan_runner(step, chunk)
-    state, wall, timed, final = _train_chunked(state, runner, x, y,
-                                               steps, chunk)
-    return state, {"workload": "nsf", "N": 800, "D": 80, "L": 4, "M": M,
-                   "E": cfg.E, "steps_timed": timed, "wall_s": wall,
-                   "steps_per_sec": timed / wall, "final_loss": final}
+    return _run_config(cfg, steps, chunk, "nsf",
+                       dict(N=800, D=80, L=4), {})
 
 
 def run_vnngp(M, steps, chunk, N=5000, D=200, L=10, K=8):
     import gpzoo_tpu as gz
-    from gpzoo_tpu.train import (TrainState, make_scan_runner,
-                                 make_train_step, negative_elbo)
 
-    key = jax.random.PRNGKey(0)
-    coords, counts, _ = gz.data.simulate_nsf_counts(N=N, D=D, L=4)
-    x, y = jnp.asarray(coords), jnp.asarray(counts)
     cfg = gz.VNNGPConfig(D=D, N=N, L=L, M=M, K=K)
-    model = cfg.build(key, X=x)
-    opt = cfg.optimizer()
-    state = TrainState.create(model, opt, key)
-    step = make_train_step(negative_elbo, opt, static_kwargs={"E": cfg.E})
-    runner = make_scan_runner(step, chunk)
-    state, wall, timed, final = _train_chunked(state, runner, x, y,
-                                               steps, chunk)
-    return state, {"workload": "nn-nsf", "N": N, "D": D, "L": L, "M": M,
-                   "K": K, "E": cfg.E, "steps_timed": timed,
-                   "wall_s": wall, "steps_per_sec": timed / wall,
-                   "final_loss": final}
+    # data simulated at sim_L=4 true factors while the model fits L
+    # (the nnnsf notebook likewise fits L=10 to data of unknown rank)
+    return _run_config(cfg, steps, chunk, "nn-nsf",
+                       dict(N=N, D=D, L=4), {"K": K})
 
 
 def main():

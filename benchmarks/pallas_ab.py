@@ -110,16 +110,12 @@ def _check(name, pallas_fn, oracle_fn, args, tol, failures):
 # Oracles (plain XLA expressions of the same math)
 # ---------------------------------------------------------------------------
 
-def _d2(x, z):
-    return jnp.maximum(
-        jnp.sum(jnp.square(x), -1)[:, None] - 2.0 * x @ z.T
-        + jnp.sum(jnp.square(z), -1)[None, :], 0.0,
-    )
-
-
 def _rbf_oracle(x, z, sigma, ell):
+    from gpzoo_tpu.ops.distance import squared_dist
+
     return (jnp.square(sigma)[:, None, None]
-            * jnp.exp(-0.5 * _d2(x, z) / jnp.square(ell)[:, None, None]))
+            * jnp.exp(-0.5 * squared_dist(x, z)
+                      / jnp.square(ell)[:, None, None]))
 
 
 def verify(failures, interpret):

@@ -27,31 +27,16 @@ from gpzoo_tpu.train import TrainState, make_scan_runner, make_train_step
 from gpzoo_tpu.train.elbo import pnmf_negative_elbo
 
 
-def match_parts(factors, parts):
-    """Best-match Pearson correlation of each true part against the
-    learned factors (greedy, without replacement)."""
-    f = factors - factors.mean(axis=1, keepdims=True)
-    p = parts - parts.mean(axis=1, keepdims=True)
-    corr = (p @ f.T) / (
-        np.linalg.norm(p, axis=1)[:, None]
-        * np.linalg.norm(f, axis=1)[None, :] + 1e-12
-    )
-    out, used = [], set()
-    for i in range(parts.shape[0]):
-        j = int(np.argmax(np.where(
-            [k in used for k in range(corr.shape[1])], -np.inf, corr[i])))
-        used.add(j)
-        out.append(corr[i, j])
-    return np.asarray(out)
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--side", type=int, default=16)
     p.add_argument("--d", type=int, default=80)
-    p.add_argument("--l", type=int, default=4)
+    p.add_argument("--l", type=int, default=4,
+                   help="model factors (needs >= 3 to match the 3 parts)")
     args = p.parse_args()
+    if args.steps < 1:
+        p.error("--steps must be >= 1")
 
     key = jax.random.PRNGKey(0)
     coords, counts, parts = gz.data.simulate_shape_images(
@@ -71,7 +56,8 @@ def main():
     runner = make_scan_runner(step, chunk)
     t0 = time.perf_counter()
     done = 0
-    while done < args.steps:
+    # rounds up to a whole number of chunks (≤ chunk−1 extra steps)
+    for _ in range(-(-args.steps // chunk)):
         state, losses = runner(state, y)
         done += chunk
     final = float(losses[-1])
@@ -79,7 +65,7 @@ def main():
           f"loss {final:.4e}")
 
     factors = np.exp(np.asarray(state.model.prior.mean))  # (L, n_pix)
-    corr = match_parts(factors, parts)
+    corr = gz.data.best_match_correlation(parts, factors)
     print("part recovery correlations:", np.round(corr, 3))
     assert np.all(corr > 0.5), "shape dictionary not recovered"
     print("OK — all parts recovered (corr > 0.5)")

@@ -11,7 +11,8 @@ from gpzoo_tpu.data.nmf_init import (
     lnormal_approx_dirichlet,
     smooth_spatial_factors,
 )
-from gpzoo_tpu.data.metrics import morans_i, dims_autocorr
+from gpzoo_tpu.data.metrics import (morans_i, dims_autocorr,
+                                    best_match_correlation)
 from gpzoo_tpu.data.io import read_h5ad, load_train_val
 from gpzoo_tpu.data.sim import (simulate_nsf_counts, simulate_1d_regression,
                                 simulate_shape_images)
@@ -27,6 +28,7 @@ __all__ = [
     "lnormal_approx_dirichlet",
     "smooth_spatial_factors",
     "morans_i",
+    "best_match_correlation",
     "read_h5ad",
     "load_train_val",
     "dims_autocorr",

@@ -61,3 +61,37 @@ def dims_autocorr(factors, coords, sort=True, n_neighs=6):
     i_vals = morans_i(factors, coords, n_neighs=n_neighs)
     idx = np.argsort(-i_vals) if sort else np.arange(len(i_vals))
     return idx, i_vals[idx] if sort else i_vals
+
+
+def best_match_correlation(true_components, factors):
+    """Greedy without-replacement best-match Pearson correlation of each
+    row of ``true_components`` against the rows of ``factors``.
+
+    The factor-recovery metric for simulated workloads (e.g. the
+    toy-image NMF dictionary, Fake_nmf.ipynb analog): returns one
+    correlation per true component, each matched to a distinct factor.
+    Requires ``factors`` to have at least as many rows as
+    ``true_components``.
+    """
+    p = np.asarray(true_components, np.float64)
+    f = np.asarray(factors, np.float64)
+    if f.shape[0] < p.shape[0]:
+        raise ValueError(
+            f"need >= {p.shape[0]} factors to match without replacement, "
+            f"got {f.shape[0]}"
+        )
+    p = p - p.mean(axis=1, keepdims=True)
+    f = f - f.mean(axis=1, keepdims=True)
+    corr = (p @ f.T) / (
+        np.linalg.norm(p, axis=1)[:, None]
+        * np.linalg.norm(f, axis=1)[None, :] + 1e-12
+    )
+    out, used = [], set()
+    for i in range(p.shape[0]):
+        masked = np.where(
+            [j in used for j in range(corr.shape[1])], -np.inf, corr[i]
+        )
+        j = int(np.argmax(masked))
+        used.add(j)
+        out.append(corr[i, j])
+    return np.asarray(out)

@@ -11,24 +11,24 @@ structural zeros, and XLA cannot exploit the triangularity. Worse, in the
 precomputed-projection path XLA compiles the *backward* dLu = ã·hᵀ dot
 into a ~45 ms fusion (vs ~20 ms for the same math inside the scan path).
 
-These kernels iterate only the lower-triangular (m, k) tile pairs — the
+This kernel iterates only the lower-triangular (m, k) tile pairs — the
 pair list is passed as scalar-prefetch tables so the grid contains no
 skipped iterations — with bf16 MXU tiles and float32 accumulation (the
 same precision class as XLA's default-precision einsum on this op; the
 result feeds the posterior *variance*, where bf16 error is a ~1% squared
 term — see the precision-policy note in docs/PERFORMANCE.md).
 
-Ops:
-  tri_t_matmul(lu, a)  →  c = einsum("lkm,kb->lmb", tril(lu), a)
-    custom VJP: dLu via the tile-skipping Pallas transpose kernel
-    (`tril`-masked — exact for tril-consumed lu, see docstring),
-    dã via a plain XLA einsum (dead-code-eliminated when ã is a
-    constant, as in the precomputed-projection path).
-
-Reference parity: replaces `jnp.einsum` value-for-value at float32
-fusion roundoff; dispatched only on TPU float32 at qualifying shapes
-(`enabled_for`). The XLA einsum remains the fallback + oracle
-(benchmarks/pallas_ab.py verifies values and gradients on device).
+STATUS — measured, not dispatched. At the north-star shape (L=20,
+M=3000, B=7000, v5e) the kernel only TIES dense XLA (17.1 vs 17.8 ms
+fwd): ~1.5 µs of per-grid-step overhead eats the 2× FLOP skip at
+MXU-saturating tile sizes (5 880 grid steps × 1.4 µs MXU each), and
+larger tiles exceed VMEM. The production triangular saving comes from
+panel-blocked XLA instead (ops/tri_blocked.py: 11.6 ms fwd, 26.6 vs
+47.6 ms fwd+bwd), which the fast path calls directly. The kernel is kept
+correct, differentiable (custom VJP: dLu via the panel-blocked form,
+tril-masked — exact for tril-consumed lu; dã dead-code-eliminated when
+ã is a constant) and verified on device by benchmarks/pallas_ab.py, as
+the substrate for future Mosaic tuning.
 """
 
 from __future__ import annotations
@@ -41,16 +41,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default OFF: measured at the north-star shape (L=20, M=3000, B=7000,
-# v5e) this kernel only TIES dense XLA (17.1 vs 17.8 ms fwd) — ~1.5 µs of
-# per-grid-step overhead eats the 2× FLOP skip at MXU-saturating tile
-# sizes (5 880 steps × 1.4 µs MXU each), and larger tiles exceed VMEM.
-# The production triangular saving comes from panel-blocked XLA instead
-# (ops/tri_blocked.py: 11.6 ms fwd, 26.6 vs 47.6 ms fwd+bwd). Kept
-# correct, differentiable and verified on device (benchmarks/pallas_ab.py)
-# as the substrate for future Mosaic tuning.
-ENABLED = False
-
 # MXU tile sizes. (TM, TK) tile the two M axes, TB the spot axis.
 _TM = 512
 _TK = 512
@@ -59,24 +49,6 @@ _TB = 1024
 
 def _cdiv(a, b):
     return -(-a // b)
-
-
-def enabled_for(lu_shape, a_shape, dtype) -> bool:
-    """Pallas path only where it wins: TPU, float32, 3-D lu with a shared
-    2-D a, and enough tiles for the skip to matter."""
-    if not ENABLED:
-        return False
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        return False
-    if backend not in ("tpu", "axon"):
-        return False
-    if len(lu_shape) != 3 or len(a_shape) != 2:
-        return False
-    m = lu_shape[-1]
-    return (dtype == jnp.float32 and lu_shape[-2] == m
-            and m >= 2 * _TM and a_shape[-1] >= _TB)
 
 
 def _tri_pairs(nm, nk):
@@ -211,13 +183,13 @@ def _tri_bwd(interpret, tm, tk, tb, res, g):
     monolithic-fusion pathology. (A Pallas dlu kernel was tried and
     removed — Mosaic rejects its bf16 masked-operand layout at edge
     shapes, and blocked XLA matches its projected rate anyway.)"""
-    from gpzoo_tpu.ops.tri_blocked import PANELS, _bounds
+    from gpzoo_tpu.ops.tri_blocked import MIN_DIM, PANELS, _bounds
 
     lu, a = res
     m_dim = lu.shape[-1]
     dlu_parts = []
     da = None
-    for s, e in _bounds(m_dim, PANELS if m_dim >= 2048 else 1):
+    for s, e in _bounds(m_dim, PANELS if m_dim >= MIN_DIM else 1):
         # c rows m ∈ [s, e) touch only k ≥ s
         dlu_p = jnp.einsum("kb,lmb->lkm", a[s:], g[:, s:e])  # (L, M−s, T)
         dlu_parts.append((s, e, dlu_p))
@@ -234,11 +206,3 @@ def _tri_bwd(interpret, tm, tk, tb, res, g):
 
 
 tri_t_matmul.defvjp(_tri_fwd, _tri_bwd)
-
-
-def tri_t_matmul_or_einsum(lu, a):
-    """Dispatch: Pallas tile-skipping kernel on TPU at qualifying shapes,
-    XLA einsum otherwise (also the parity oracle)."""
-    if enabled_for(jnp.shape(lu), jnp.shape(a), jnp.result_type(lu, a)):
-        return tri_t_matmul(lu, a)
-    return jnp.einsum("...km,...kn->...mn", lu, a)

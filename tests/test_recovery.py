@@ -168,11 +168,5 @@ def test_pnmf_recovers_shape_dictionary(key):
     for _ in range(4):
         state, losses = runner(state, y)
     factors = np.exp(np.asarray(state.model.prior.mean))  # (L, n_pix)
-    f = factors - factors.mean(axis=1, keepdims=True)
-    p = parts - parts.mean(axis=1, keepdims=True)
-    corr = (p @ f.T) / (
-        np.linalg.norm(p, axis=1)[:, None]
-        * np.linalg.norm(f, axis=1)[None, :] + 1e-12
-    )
-    # each true part matched by some factor
-    assert np.all(corr.max(axis=1) > 0.5), corr.max(axis=1)
+    corr = gz.data.best_match_correlation(parts, factors)
+    assert np.all(corr > 0.5), corr
