@@ -113,3 +113,55 @@ def build_group_distances(x, groups, n_groups):
     from gpzoo_tpu.ops.distance import cdist
 
     return cdist(avg, avg)
+
+
+def tri_inverse(l, block=512):
+    """Lower-triangular inverse via 2×2 block recursion — matmuls instead
+    of a full-width triangular solve.
+
+        [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
+
+    The classic blocked trtri: only the ≤``block``-sized diagonal
+    inversions run as triangular solves; everything else is matmuls.
+    On v5e, batched triangular solves sustain ~6 TF/s vs ~94 TF/s for
+    matmuls (docs/PERFORMANCE.md), so the per-step K⁻¹ = Lzz⁻ᵀLzz⁻¹
+    construction drops by roughly the matmul/solve rate ratio.
+
+    Accuracy: same O(κ·ε) class as solving against the identity — the
+    off-diagonal block is one extra product — and the matmuls run at
+    HIGHEST precision. ``l``: (..., M, M) lower-triangular, any batch
+    rank. Returns the lower-triangular (..., M, M) inverse.
+    """
+    m = l.shape[-1]
+    if m <= block:
+        eye = jnp.broadcast_to(
+            jnp.eye(m, dtype=l.dtype), l.shape
+        )
+        with jax.default_matmul_precision("highest"):
+            return jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    # split at a tile-aligned midpoint (multiples of 128 keep every
+    # block's trailing dims on clean MXU/VPU tiles)
+    h = ((m // 2 + 127) // 128) * 128
+    if h >= m:
+        h = m // 2
+    a_inv = tri_inverse(l[..., :h, :h], block)
+    c_inv = tri_inverse(l[..., h:, h:], block)
+    with jax.default_matmul_precision("highest"):
+        b_inv = -jnp.einsum(
+            "...ij,...jk,...kl->...il", c_inv, l[..., h:, :h], a_inv
+        )
+    top = jnp.concatenate(
+        [a_inv, jnp.zeros(l.shape[:-2] + (h, m - h), l.dtype)], axis=-1
+    )
+    bottom = jnp.concatenate([b_inv, c_inv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def spd_inverse_from_cholesky(lz, block=512):
+    """K⁻¹ = Lzz⁻ᵀ Lzz⁻¹ from the Cholesky factor, via the blocked
+    triangular inverse + one (..., M, M) matmul — the matmul-form-KL /
+    precomputed-projection building block, without the ~6 TF/s full-width
+    ``cho_solve(·, I)`` solve."""
+    w = tri_inverse(lz, block)
+    with jax.default_matmul_precision("highest"):
+        return jnp.einsum("...ki,...kj->...ij", w, w)

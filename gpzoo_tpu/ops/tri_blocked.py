@@ -77,19 +77,22 @@ def tri_kl_trace(k_inv, lu, panels=None):
     panel k ∈ [s, e) of the lower-triangular Lu only touches the
     trailing (M−s)×(M−s) block of K⁻¹ — ≈ 1/3 of the dense FLOPs.
 
-    k_inv: (M, M) shared; lu: (L, M, M) or (M, M). Returns (L,) (or
-    scalar-shaped (1,)-batch semantics identical to the dense einsum
-    ``einsum("ij,ljk,lik->l", k_inv, lu, lu)``).
+    k_inv: (M, M) shared or (L, M, M) per-factor; lu: (L, M, M) or
+    (M, M). Returns (L,), identical to the dense einsum
+    ``einsum("[l]ij,ljk,lik->l", k_inv, lu, lu)`` up to reassociation.
     """
     lu_l = lu if lu.ndim == 3 else lu[None]
+    spec = "lij,ljk,lik->l" if k_inv.ndim == 3 else "ij,ljk,lik->l"
+    if k_inv.ndim == 3 and lu_l.shape[0] != k_inv.shape[0]:
+        lu_l = jnp.broadcast_to(lu_l, k_inv.shape)
     m_dim = lu_l.shape[-1]
     if panels is None:
         panels = PANELS if m_dim >= MIN_DIM else 1
     if panels <= 1:
-        return jnp.einsum("ij,ljk,lik->l", k_inv, lu_l, lu_l)
+        return jnp.einsum(spec, k_inv, lu_l, lu_l)
     out = None
     for s, e in _bounds(m_dim, panels):
-        term = jnp.einsum("ij,ljk,lik->l", k_inv[s:, s:],
+        term = jnp.einsum(spec, k_inv[..., s:, s:],
                           lu_l[:, s:, s:e], lu_l[:, s:, s:e])
         out = term if out is None else out + term
     return out

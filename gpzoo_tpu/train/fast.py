@@ -32,31 +32,35 @@ from flax import struct
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, softplus
 from gpzoo_tpu.gps.svgp import SVGP, WSVGP
-from gpzoo_tpu.ops.linalg import add_jitter, tril_logdet, whitened_kl
+from gpzoo_tpu.ops.linalg import (add_jitter, spd_inverse_from_cholesky,
+                                  tril_logdet, whitened_kl)
 from gpzoo_tpu.ops.tri_blocked import tri_kl_trace, tri_sq_colsum
 
 
 def _matmul_kl(mu, lu, lzz):
-    """Σ_l KL(N(μ_l, Lu_l Lu_lᵀ) ‖ N(0, Kzz)) for a SHARED (M, M) prior
-    Cholesky, computed with matmuls against one K⁻¹ instead of batched
-    (L, M, M) triangular solves (6 TF/s vs 94 TF/s on v5e):
+    """Σ_l KL(N(μ_l, Lu_l Lu_lᵀ) ‖ N(0, Kzz_l)) computed with matmuls
+    against K⁻¹ instead of (L-batched) triangular solves (6 TF/s vs
+    94 TF/s on v5e):
 
-        KL_l = ½(tr(K⁻¹ S_l) + μ_lᵀK⁻¹μ_l − M) + log|Lzz| − log|Lu_l|.
+        KL_l = ½(tr(K_l⁻¹ S_l) + μ_lᵀK_l⁻¹μ_l − M) + log|Lzz_l| − log|Lu_l|.
 
-    Returns (kl_sum, K⁻¹) so callers can reuse the inverse.
+    ``lzz`` may be shared (M, M) or per-factor (L, M, M); K⁻¹ itself is
+    built by the blocked triangular inverse (ops.linalg.tri_inverse) —
+    matmuls all the way down. Returns (kl_sum, K⁻¹) so callers can reuse
+    the inverse for the posterior projection.
     """
     m_dim = lzz.shape[-1]
-    with jax.default_matmul_precision("highest"):
-        k_inv = jax.scipy.linalg.cho_solve(
-            (lzz, True), jnp.eye(m_dim, dtype=lzz.dtype)
-        )
+    k_inv = spd_inverse_from_cholesky(lzz)
     lu_l = lu if lu.ndim == 3 else lu[None]
     mu_l = jnp.atleast_2d(jnp.asarray(mu))
     # panel-blocked: Lu's column panel k only touches K⁻¹'s trailing
     # block — ≈1/3 the dense einsum's FLOPs (ops/tri_blocked.py)
     trace = tri_kl_trace(k_inv, lu_l)
-    maha = jnp.einsum("lm,mk,lk->l", mu_l, k_inv, mu_l)
-    logdet_p = jnp.sum(jnp.log(jnp.diagonal(lzz)))
+    if k_inv.ndim == 3 and mu_l.shape[0] != k_inv.shape[0]:
+        mu_l = jnp.broadcast_to(mu_l, k_inv.shape[:1] + mu_l.shape[-1:])
+    maha = jnp.einsum("lm,mk,lk->l" if k_inv.ndim == 2
+                      else "lm,lmk,lk->l", mu_l, k_inv, mu_l)
+    logdet_p = tril_logdet(lzz)  # scalar (shared) or (L,)
     logdet_q = tril_logdet(lu_l)
     kl = jnp.sum(0.5 * (trace + maha - m_dim) + logdet_p - logdet_q)
     return kl, k_inv
@@ -121,14 +125,15 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     NOT done — B must be divisible by microbatch; pick e.g. 7000 = 7×1000).
 
     ``factored=True`` reformulates the per-chunk work around per-step
-    precomputed factors (see the inline derivation): one triangular solve
-    and one (L, M, M)×(L, M, mb) matmul per chunk instead of a
-    ``cho_solve`` (two solves) plus a matmul — fewer FLOPs, more of them
-    on the MXU, and no S = Lu Luᵀ materialized. (With an L-batched
-    non-shared Cholesky the KL itself still pays one batched solve —
-    only ``shared_kernel`` unlocks the matmul-form KL.)
-    Identical math (float64-verified in tests); float32 values differ at
-    roundoff.
+    precomputed factors (see the inline derivation). For the unwhitened
+    parameterization — shared OR per-factor Cholesky — the KL runs in
+    matmul form against K⁻¹ (built by the blocked triangular inverse,
+    ``ops.linalg.tri_inverse``) and every per-chunk triangular solve
+    becomes a K⁻¹ matmul: ã = K⁻¹Kzx, cov = Kxx − colsum(Kzx ⊙ ã) +
+    colsum((Luᵀã)²). v5e runs the batched solves this replaces at
+    ~6 TF/s vs ~94 TF/s for the matmuls. The whitened parameterization
+    keeps its single per-chunk solve. Identical math (float64-verified
+    in tests); float32 values differ at roundoff.
 
     ``groups``: per-spot group labels (N,) for multi-group (MGGP) models —
     threaded into the group-aware kernel exactly like
@@ -173,70 +178,56 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     k_inv = None
     if whitened:
         kl = jnp.sum(whitened_kl(gp.mu, lu))
-    elif factored and lzz.ndim == 2:
+    elif factored:
+        # shared (M, M) or per-factor (L, M, M) prior Cholesky: matmul-form
+        # KL; the K⁻¹ (built by the blocked triangular inverse — no
+        # ~6 TF/s full-width solves) is reused by the projection below.
         kl, k_inv = _matmul_kl(gp.mu, lu, lzz)
     else:
         pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
         qu = dists.MultivariateNormalTril(gp.mu, lu)
         kl = jnp.sum(dists.kl_divergence(qu, pu))
-        if not factored:
-            # S = Lu Luᵀ is only consumed by the non-factored chunk path.
-            s = jnp.einsum("...ij,...kj->...ik", lu, lu)
+        # S = Lu Luᵀ is only consumed by the non-factored chunk path.
+        s = jnp.einsum("...ij,...kj->...ik", lu, lu)
 
-    # Per-step factored precomputations (see docstring). With
-    # a := Lzz⁻¹ Kzx (one triangular solve per chunk), both
-    # parameterizations share  cov = Kxx − colsum(a²) + colsum((Cᵀa)²)
-    # and  mean = m̃ᵀ Kzx,  where
-    #   whitened:   C = Lu (no precompute),        m̃ = Lzz⁻ᵀ μ
-    #   unwhitened: C = R = Lzz⁻¹ Lu (one solve),  m̃ = K⁻¹ μ
-    # — so the only (L, M, M) precompute is R in the unwhitened case.
+    # Per-step factored precomputations (see docstring):
+    #   whitened:   a = Lzz⁻¹Kzx per chunk (solve),
+    #               cov = Kxx − colsum(a²) + colsum((Luᵀa)²),
+    #               mean = (Lzz⁻ᵀμ)ᵀ Kzx
+    #   unwhitened: ã = K⁻¹Kzx per chunk (matmul against the K⁻¹ the KL
+    #               already built — shared or per-factor),
+    #               cov = Kxx − colsum(Kzx ⊙ ã) + colsum((Luᵀã)²),
+    #               mean = (K⁻¹μ)ᵀ Kzx
+    # — no (L, M, M) solve precompute in either case; the only per-chunk
+    # triangular solve left is the whitened parameterization's.
     if factored:
-        def solve_lower(mat_b, trans=0):
-            """Lzz solve that also handles unbatched lzz with L-batched
-            RHS (the shared_kernel layout) without broadcasting lzz."""
-            if lzz.ndim == 2 and mat_b.ndim == 3:
-                lb, m, k = mat_b.shape
-                flat = jnp.moveaxis(mat_b, 0, 1).reshape(m, lb * k)
-                out = jax.scipy.linalg.solve_triangular(
-                    lzz, flat, lower=True, trans=trans
-                )
-                return jnp.moveaxis(out.reshape(m, lb, k), 1, 0)
-            return jax.scipy.linalg.solve_triangular(
-                lzz, mat_b, lower=True, trans=trans
-            )
-
+        c_fac = lu
         mu_arr = jnp.asarray(gp.mu)
-        if lzz.ndim == 3:
-            mu_b = jnp.broadcast_to(
-                mu_arr, lzz.shape[:-2] + mu_arr.shape[-1:]
-            )[..., None]  # (L, M, 1)
-        elif mu_arr.ndim == 2:
-            mu_b = mu_arr[:, :, None]  # (L, M, 1), lzz shared
-        else:
-            mu_b = mu_arr[:, None]  # (M, 1)
-        # two_solve: with a shared Cholesky the L-batched (L, M, M)
-        # R = Lzz⁻¹Lu precompute (slow triangular solves) is replaced by a
-        # second *shared* per-chunk solve ã = Lzz⁻ᵀa, after which
-        # Cᵀa ≡ Luᵀã — an L-batched matmul against Lu directly.
-        two_solve = (not whitened) and lzz.ndim == 2
         with jax.default_matmul_precision("highest"):
-            if whitened or two_solve:
-                c_fac = lu
-            else:
-                c_fac = solve_lower(
-                    jnp.broadcast_to(lu, lzz.shape)
-                    if lzz.ndim == 3 else lu
-                )  # R = Lzz⁻¹ Lu
             if whitened:
-                m_fac = solve_lower(mu_b, trans=1)[..., 0]  # Lzz⁻ᵀ μ
-            elif k_inv is not None:
-                m_fac = jnp.einsum(
-                    "ij,...j->...i", k_inv, jnp.asarray(gp.mu)
-                )  # K⁻¹ μ via the shared inverse
+                if mu_arr.ndim == 2 and lzz.ndim == 2:
+                    mu_b = mu_arr[:, :, None]  # (L, M, 1), lzz shared
+                    flat = jnp.moveaxis(mu_b, 0, 1).reshape(
+                        mu_arr.shape[1], -1)
+                    m_fac = jnp.moveaxis(
+                        jax.scipy.linalg.solve_triangular(
+                            lzz, flat, lower=True, trans=1
+                        ).reshape(mu_arr.shape[1], mu_arr.shape[0], 1),
+                        1, 0)[..., 0]
+                else:
+                    mu_b = (jnp.broadcast_to(
+                        mu_arr, lzz.shape[:-2] + mu_arr.shape[-1:]
+                    )[..., None] if lzz.ndim == 3 else mu_arr[:, None])
+                    m_fac = jax.scipy.linalg.solve_triangular(
+                        lzz, mu_b, lower=True, trans=1
+                    )[..., 0]  # Lzz⁻ᵀ μ
+            elif k_inv.ndim == 3:
+                mu_l = jnp.broadcast_to(
+                    jnp.atleast_2d(mu_arr),
+                    k_inv.shape[:1] + mu_arr.shape[-1:])
+                m_fac = jnp.einsum("lij,lj->li", k_inv, mu_l)  # K⁻¹ μ
             else:
-                m_fac = solve_lower(
-                    solve_lower(mu_b), trans=1
-                )[..., 0]  # K⁻¹ μ
+                m_fac = jnp.einsum("ij,...j->...i", k_inv, mu_arr)
 
     # One reparameterization draw for the whole batch, sliced per chunk —
     # bit-identical to Normal.sample(key, (E,)) on the full (L, B) marginal
@@ -294,20 +285,25 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         if factored:
             mean = jnp.einsum("...mn,...m->...n", kzx, m_fac,
                               precision=jax.lax.Precision.HIGHEST)
-            with jax.default_matmul_precision("highest"):
-                a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
-            cov = kxx - jnp.sum(jnp.square(a), axis=-2)
             if whitened:
-                cov = jnp.clip(cov, min=0.0)
-            if two_solve:
                 with jax.default_matmul_precision("highest"):
                     a = jax.scipy.linalg.solve_triangular(
-                        lzz, a, lower=True, trans=1
-                    )  # ã = K⁻¹Kzx; Cᵀa becomes Luᵀã
-            # c_fac is exactly lower-triangular here (Lu from the bijector,
-            # or Lzz⁻¹Lu whose upper zeros propagate exactly through the
-            # forward substitution) — the panel-blocked contraction skips
-            # the strictly-upper panels (ops/tri_blocked.py).
+                        lzz, kzx, lower=True)
+                cov = jnp.clip(kxx - jnp.sum(jnp.square(a), axis=-2),
+                               min=0.0)
+            else:
+                # ã = K⁻¹Kzx as a matmul against the KL's K⁻¹ (shared or
+                # per-factor) — the v5e runs matmuls ~15× faster than
+                # the triangular solves this replaces.
+                with jax.default_matmul_precision("highest"):
+                    a = jnp.einsum(
+                        "ij,...jb->...ib" if k_inv.ndim == 2 else
+                        "lij,ljb->lib", k_inv, kzx)
+                cov = kxx - jnp.sum(kzx * a, axis=-2)
+            # c_fac = Lu is exactly lower-triangular (bijector output) —
+            # the panel-blocked contraction skips the strictly-upper
+            # panels (ops/tri_blocked.py); colsum((Luᵀa)²) covers both
+            # parameterizations (whitened a, unwhitened ã).
             cov = cov + tri_sq_colsum(c_fac, a)
             if whitened:
                 scale = jnp.sqrt(cov)

@@ -136,3 +136,23 @@ def test_init_softplus_matches_reference_semantics():
         np.log(np.exp(0.5) - 1 + 1e-5), out[0], rtol=1e-10
     )
     assert out[2] == 25.0
+
+
+def test_tri_inverse_matches_solve(rng):
+    from gpzoo_tpu.ops.linalg import spd_inverse_from_cholesky, tri_inverse
+
+    for batch in ((), (3,)):
+        a = rng.standard_normal(batch + (300, 300)) * 0.3
+        k = a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(300)
+        l = np.linalg.cholesky(k)
+        w = tri_inverse(jnp.asarray(l), block=128)
+        eye = np.eye(300)
+        np.testing.assert_allclose(np.asarray(w) @ l, 
+                                   np.broadcast_to(eye, l.shape),
+                                   atol=1e-10)
+        # strictly upper stays exactly zero (the concat layout)
+        assert np.all(np.triu(np.asarray(w), 1) == 0.0)
+        k_inv = spd_inverse_from_cholesky(jnp.asarray(l), block=128)
+        np.testing.assert_allclose(np.asarray(k_inv) @ k,
+                                   np.broadcast_to(eye, k.shape),
+                                   atol=1e-9)
