@@ -165,3 +165,45 @@ def spd_inverse_from_cholesky(lz, block=512):
     w = tri_inverse(lz, block)
     with jax.default_matmul_precision("highest"):
         return jnp.einsum("...ki,...kj->...ij", w, w)
+
+
+@jax.custom_vjp
+def cholesky_mm(k):
+    """``jnp.linalg.cholesky`` with a matmul-form backward.
+
+    XLA's Cholesky VJP runs two full-width triangular solves per matrix —
+    ~6 TF/s batched on v5e. This variant reverse-differentiates via the
+    blocked triangular inverse instead (Murray 2016, "Differentiation of
+    the Cholesky decomposition"):
+
+        K̄ = ½ W ᵀ (Φ(Lᵀ L̄) + Φ(Lᵀ L̄)ᵀ) W,   W = L⁻¹,
+        Φ(X) = tril(X) with the diagonal halved
+
+    — one blocked inverse + three batched matmuls, all on the MXU at
+    HIGHEST precision. Values are identical to ``jnp.linalg.cholesky``;
+    gradients match to roundoff (tests/test_ops.py). Use on the training
+    hot path when the Gram argument is trainable (per-factor MGGP
+    kernels); with frozen kernels the backward is dead-code-eliminated
+    either way.
+    """
+    return jnp.linalg.cholesky(k)
+
+
+def _cholesky_mm_fwd(k):
+    l = jnp.linalg.cholesky(k)
+    return l, l
+
+
+def _cholesky_mm_bwd(l, dl):
+    m = l.shape[-1]
+    eye = jnp.eye(m, dtype=bool)
+    w = tri_inverse(l)
+    with jax.default_matmul_precision("highest"):
+        p = jnp.einsum("...ki,...kj->...ij", l, dl)  # Lᵀ L̄
+        phi = jnp.where(eye, 0.5 * p, jnp.tril(p))
+        phi = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+        kbar = jnp.einsum("...ki,...kl,...lj->...ij", w, phi, w)
+    return (kbar,)
+
+
+cholesky_mm.defvjp(_cholesky_mm_fwd, _cholesky_mm_bwd)

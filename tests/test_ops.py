@@ -156,3 +156,17 @@ def test_tri_inverse_matches_solve(rng):
         np.testing.assert_allclose(np.asarray(k_inv) @ k,
                                    np.broadcast_to(eye, k.shape),
                                    atol=1e-9)
+
+
+def test_cholesky_mm_matches_builtin(rng):
+    from gpzoo_tpu.ops.linalg import cholesky_mm
+
+    a = rng.standard_normal((3, 200, 200)) * 0.3
+    k = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(200))
+    g = jnp.asarray(rng.standard_normal((3, 200, 200)))
+    np.testing.assert_allclose(np.asarray(cholesky_mm(k)),
+                               np.asarray(jnp.linalg.cholesky(k)))
+    gr = jax.grad(lambda k_: jnp.sum(g * jnp.linalg.cholesky(k_)))(k)
+    gm = jax.grad(lambda k_: jnp.sum(g * cholesky_mm(k_)))(k)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gr),
+                               rtol=1e-10, atol=1e-12)
