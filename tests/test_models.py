@@ -30,7 +30,7 @@ def test_deep_gp_variants_train():
         state = TrainState.create(model, opt, key)
         step = make_train_step(mod.stack_loss, opt, static_kwargs={"E": 2})
         losses = []
-        for _ in range(60):
+        for _ in range(25):
             state, loss = step(state, x, y)
             losses.append(float(loss))
         assert np.all(np.isfinite(losses)), build.__name__

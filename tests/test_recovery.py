@@ -12,6 +12,7 @@ import gpzoo_tpu as gz
 from gpzoo_tpu.ops import add_jitter
 from gpzoo_tpu.train import (
     TrainState,
+    make_scan_runner,
     make_train_step,
     negative_elbo,
 )
@@ -20,7 +21,7 @@ from gpzoo_tpu.train.elbo import whitened_negative_elbo
 
 def test_svgp_1d_toy_posterior(key):
     """SVGP.ipynb: fit 2·sin(2x)+ε; posterior mean must track the truth."""
-    x_np, y_np = gz.data.simulate_1d_regression(n=2000, noise=0.5)
+    x_np, y_np = gz.data.simulate_1d_regression(n=800, noise=0.5)
     x, y = jnp.asarray(x_np), jnp.asarray(y_np)
 
     kernel = gz.kernels.RBF(sigma=jnp.asarray(1.0),
@@ -36,8 +37,9 @@ def test_svgp_1d_toy_posterior(key):
     opt = optax.adam(2e-2)
     state = TrainState.create(model, opt, key)
     step = make_train_step(negative_elbo, opt, static_kwargs={"E": 5})
-    for _ in range(300):
-        state, loss = step(state, x, y)
+    runner = make_scan_runner(step, 100)  # scan-fused: one dispatch/chunk
+    for _ in range(3):
+        state, _ = runner(state, x, y)
 
     qf, _, _ = state.model.gp(x)
     truth = 2 * jnp.sin(2 * x[:, 0])
@@ -73,15 +75,21 @@ def test_mggp_whitened_fit_improves(key, rng):
     gp = gp.replace(Z=x[:40], groupsZ=groups[:40])
     model = gz.models.GaussianLikelihood.create(gp, noise=0.5)
 
-    opt = optax.adam(2e-2)
+    from gpzoo_tpu.train import partition_optimizer, trainable_mask
+
+    # mask the integer groupsZ labels out of Adam (their moment zeros
+    # would dtype-promote inside the scan carry)
+    mask = trainable_mask(model, lambda p: "groupsZ" not in p)
+    opt = partition_optimizer(optax.adam(2e-2), mask)
     state = TrainState.create(model, opt, key)
     step = make_train_step(whitened_negative_elbo, opt,
                            static_kwargs={"E": 5, "groups_x": groups})
+    runner = make_scan_runner(step, 100)
     first = None
-    for _ in range(300):
-        state, loss = step(state, x, y)
-        first = first if first is not None else float(loss)
-    assert float(loss) < first
+    for _ in range(3):
+        state, losses = runner(state, x, y)
+        first = first if first is not None else float(losses[0])
+    assert float(losses[-1]) < first
 
     qf, _, _ = state.model.gp(x, groups_x=groups)
     corr = np.corrcoef(np.asarray(qf.mean), np.asarray(f))[0, 1]
@@ -134,15 +142,18 @@ def test_lbfgs_closure_equivalent(key):
     def loss(m):
         return gaussian_exact_negative_elbo(m, x, y)
 
-    state = opt.init(model)
-    params = model
-    value = None
-    for _ in range(20):
+    @jax.jit  # compile the whole L-BFGS iteration incl. the line search
+    def lbfgs_step(params, state):
         value, grads = jax.value_and_grad(loss)(params)
         updates, state = opt.update(
             grads, state, params, value=value, grad=grads, value_fn=loss
         )
-        params = optax.apply_updates(params, updates)
+        return optax.apply_updates(params, updates), state
+
+    state = opt.init(model)
+    params = model
+    for _ in range(20):
+        params, state = lbfgs_step(params, state)
     assert float(loss(params)) < float(loss(model))
 
 
