@@ -13,15 +13,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def latent_posterior(gp, x, groups=None, chunk_size=None):
-    """qF (marginal mean/scale) of a GP at all N points, chunked.
+def latent_posterior(gp, x, groups=None, chunk_size=None, mesh=None):
+    """qF (marginal mean/scale) of a GP at all N points, chunked and/or
+    sharded.
 
     gp: any :mod:`gpzoo_tpu.gps` posterior (SVGP/WSVGP/MGGP*/VNNGP);
     x: (N, dim); groups: (N,) labels for MGGP GPs;
-    chunk_size: spot-axis block (default: all at once).
+    chunk_size: spot-axis block (default: all at once);
+    mesh: a ``jax.sharding.Mesh`` with a ``"data"`` axis — the spot axis
+    is sharded across it (parameters replicated, XLA partitions the
+    Kxx/Kzx/posterior math per shard; the reference moves this forward
+    to CPU instead, Slideseq_NSF_newest_version.ipynb cells 32-33).
+    ``chunk_size`` is ignored with a mesh: per-device memory is already
+    the full working set divided by the device count.
 
     Returns (mean, scale) as (L, N) or (N,) arrays.
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if "data" not in mesh.axis_names:
+            raise ValueError(f"mesh {mesh.axis_names} has no 'data' axis")
+        n = x.shape[0]
+        pad = (-n) % mesh.shape["data"]
+        x_p = jax.device_put(
+            jnp.pad(x, ((0, pad), (0, 0))),
+            NamedSharding(mesh, PartitionSpec("data", None)))
+        g_p = (jax.device_put(jnp.pad(groups, (0, pad)),
+                              NamedSharding(mesh, PartitionSpec("data")))
+               if groups is not None else None)
+        gp_r = jax.device_put(gp, NamedSharding(mesh, PartitionSpec()))
+        # GSPMD propagates the spot-axis sharding through the forward;
+        # per-device memory is the full working set / n_devices, so the
+        # host-side chunking is unnecessary here.
+        mean, scale = jax.jit(
+            lambda gp_, xc, gc: latent_posterior(gp_, xc, gc)
+        )(gp_r, x_p, g_p)
+        return mean[..., :n], scale[..., :n]
+
     n = x.shape[0]
     if chunk_size is None or chunk_size >= n:
         qf, _, _ = (gp(x, groups) if groups is not None else gp(x))

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import gpzoo_tpu as gz
+from gpzoo_tpu import predict
 from gpzoo_tpu.predict import extract_factors, latent_posterior
 
 
@@ -64,3 +65,22 @@ def test_elbo_shape_guard(setup, key):
     with pytest.raises(ValueError):
         nsf_negative_elbo_batched(model, x, y_bad, idx, key, E=1,
                                   microbatch=16)
+
+
+def test_latent_posterior_sharded_matches(rng):
+    """mesh= shards the full-N forward over the data axis; values equal
+    the single-device forward (SURVEY §3.5: sharded pjit forward)."""
+    from gpzoo_tpu.parallel import data_parallel_mesh
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.uniform(-2, 2, size=(203, 2)))  # non-multiple of 8
+    kernel = gz.kernels.NSFRBF.create(sigma=1.0, lengthscale=1.0, L=3)
+    gp = gz.gps.SVGP.create(key, kernel, dim=2, M=24, jitter=1e-2)
+
+    mean0, scale0 = predict.latent_posterior(gp, x)
+    mesh = data_parallel_mesh()
+    mean1, scale1 = predict.latent_posterior(gp, x, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean0),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(scale1), np.asarray(scale0),
+                               rtol=1e-9, atol=1e-12)
