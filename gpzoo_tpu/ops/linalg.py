@@ -185,6 +185,10 @@ def cholesky_mm(k):
     hot path when the Gram argument is trainable (per-factor MGGP
     kernels); with frozen kernels the backward is dead-code-eliminated
     either way.
+
+    Reverse-mode only: like any ``custom_vjp`` without a JVP rule,
+    forward-mode autodiff (``jax.jvp``/``jacfwd``/Hessians) through this
+    op raises — use ``jnp.linalg.cholesky`` for curvature computations.
     """
     return jnp.linalg.cholesky(k)
 

@@ -46,9 +46,7 @@ def latent_posterior(gp, x, groups=None, chunk_size=None, mesh=None):
         # GSPMD propagates the spot-axis sharding through the forward;
         # per-device memory is the full working set / n_devices, so the
         # host-side chunking is unnecessary here.
-        mean, scale = jax.jit(
-            lambda gp_, xc, gc: latent_posterior(gp_, xc, gc)
-        )(gp_r, x_p, g_p)
+        mean, scale = _sharded_forward(gp_r, x_p, g_p)
         return mean[..., :n], scale[..., :n]
 
     n = x.shape[0]
@@ -75,6 +73,13 @@ def latent_posterior(gp, x, groups=None, chunk_size=None, mesh=None):
     means = jnp.moveaxis(means, 0, -2).reshape(means.shape[1:-1] + (-1,))
     scales = jnp.moveaxis(scales, 0, -2).reshape(scales.shape[1:-1] + (-1,))
     return means[..., :n], scales[..., :n]
+
+
+@jax.jit
+def _sharded_forward(gp, x, groups):
+    """Module-level jitted forward so repeated mesh= calls reuse the
+    compiled N-sized program instead of retracing per call."""
+    return latent_posterior(gp, x, groups)
 
 
 def extract_factors(model, x, groups=None, chunk_size=None, coords=None):

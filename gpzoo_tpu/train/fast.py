@@ -211,14 +211,10 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         with jax.default_matmul_precision("highest"):
             if whitened:
                 if mu_arr.ndim == 2 and lzz.ndim == 2:
-                    mu_b = mu_arr[:, :, None]  # (L, M, 1), lzz shared
-                    flat = jnp.moveaxis(mu_b, 0, 1).reshape(
-                        mu_arr.shape[1], -1)
-                    m_fac = jnp.moveaxis(
-                        jax.scipy.linalg.solve_triangular(
-                            lzz, flat, lower=True, trans=1
-                        ).reshape(mu_arr.shape[1], mu_arr.shape[0], 1),
-                        1, 0)[..., 0]
+                    # one flat shared solve, not an L-batched one
+                    m_fac = jax.scipy.linalg.solve_triangular(
+                        lzz, mu_arr.T, lower=True, trans=1
+                    ).T  # (L, M) of Lzz⁻ᵀ μ
                 else:
                     mu_b = (jnp.broadcast_to(
                         mu_arr, lzz.shape[:-2] + mu_arr.shape[-1:]
@@ -419,11 +415,8 @@ def precompute_nsf_projection(model, x, block=None):
     a2 = jnp.concatenate(a2s) if len(a2s) > 1 else a2s[0]
     k_inv = logdet = None
     if not whitened:
-        with jax.default_matmul_precision("highest"):
-            k_inv = jax.scipy.linalg.cho_solve(
-                (lzz, True), jnp.eye(m_dim, dtype=lzz.dtype)
-            )
-        logdet = jnp.sum(jnp.log(jnp.diagonal(lzz)))
+        k_inv = spd_inverse_from_cholesky(lzz)
+        logdet = tril_logdet(lzz)
     return NSFProjection(
         proj_t=jax.block_until_ready(proj_t), a2=a2,
         # variance diag of the ORIGINAL kernel: its (L, 1) shape carries
