@@ -25,6 +25,8 @@ Supports the flagship :class:`gpzoo_tpu.models.NSF` head over an
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -381,6 +383,28 @@ class NSFProjection:
     whitened: bool = struct.field(pytree_node=False, default=False)
 
 
+@jax.jit
+def _proj_chol(kernel, z, jitter):
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.cholesky(add_jitter(kernel.gram(z, z), jitter))
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _proj_block(lzz, kernel, z, xb, whitened):
+    kzx = kernel.gram(z, xb)
+    with jax.default_matmul_precision("highest"):
+        a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
+        proj = a if whitened else jax.scipy.linalg.solve_triangular(
+            lzz, a, lower=True, trans=1
+        )
+    return proj.T, jnp.sum(jnp.square(a), axis=0)
+
+
+@jax.jit
+def _kinv_logdet(lzz):
+    return spd_inverse_from_cholesky(lzz), tril_logdet(lzz)
+
+
 def precompute_nsf_projection(model, x, block=None):
     """Build :class:`NSFProjection` for ``model`` over all spots ``x``.
 
@@ -394,29 +418,22 @@ def precompute_nsf_projection(model, x, block=None):
         gp = model.gp
     whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
     kernel = _collapse_shared_kernel(gp.kernel)
-    m_dim = gp.Z.shape[0]
-    with jax.default_matmul_precision("highest"):
-        kzz = add_jitter(kernel.gram(gp.Z, gp.Z), gp.jitter)
-        lzz = jnp.linalg.cholesky(kzz)
     n = x.shape[0]
     block = n if block is None else block
+    # jitted pieces: eager op dispatch through the TPU tunnel costs up
+    # to ~1 s per op, and the build is a few dozen ops (Gram, Cholesky,
+    # solves, the blocked-recursion inverse)
+    lzz = _proj_chol(kernel, gp.Z, gp.jitter)
     rows, a2s = [], []
     for s in range(0, n, block):
-        xb = x[s:s + block]
-        kzx = kernel.gram(gp.Z, xb)
-        with jax.default_matmul_precision("highest"):
-            a = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
-            proj = a if whitened else jax.scipy.linalg.solve_triangular(
-                lzz, a, lower=True, trans=1
-            )
-        rows.append(proj.T)
-        a2s.append(jnp.sum(jnp.square(a), axis=0))
+        pt, a2b = _proj_block(lzz, kernel, gp.Z, x[s:s + block], whitened)
+        rows.append(pt)
+        a2s.append(a2b)
     proj_t = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
     a2 = jnp.concatenate(a2s) if len(a2s) > 1 else a2s[0]
     k_inv = logdet = None
     if not whitened:
-        k_inv = spd_inverse_from_cholesky(lzz)
-        logdet = tril_logdet(lzz)
+        k_inv, logdet = _kinv_logdet(lzz)
     return NSFProjection(
         proj_t=jax.block_until_ready(proj_t), a2=a2,
         # variance diag of the ORIGINAL kernel: its (L, 1) shape carries
