@@ -107,11 +107,9 @@ def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
     ll = jnp.sum(jnp.mean(lp, axis=0))
 
-    lzz = pu.scale_tril
-    if lzz.ndim == 2:
-        kl, _ = _matmul_kl(qu.loc, qu.scale_tril, lzz)
-    else:
-        kl = jnp.sum(dists.kl_divergence(qu, pu))
+    # matmul-form KL for shared AND per-factor prior Choleskys (the
+    # blocked-inverse K⁻¹ replaces the batched triangular solves)
+    kl, _ = _matmul_kl(qu.loc, qu.scale_tril, pu.scale_tril)
     return -(ll - kl)
 
 
