@@ -35,7 +35,7 @@ from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, softplus
 from gpzoo_tpu.gps.svgp import SVGP, WSVGP
 from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_mm,
-                                  spd_inverse_from_cholesky,
+                                  spd_inverse_from_cholesky, tri_inverse,
                                   tril_logdet, whitened_kl)
 from gpzoo_tpu.ops.tri_blocked import tri_kl_trace, tri_sq_colsum
 
@@ -196,32 +196,31 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
 
     # Per-step factored precomputations (see docstring):
-    #   whitened:   a = Lzz⁻¹Kzx per chunk (solve),
+    #   whitened:   a = Lzz⁻¹Kzx per chunk — a matmul against the
+    #               blocked triangular inverse W = Lzz⁻¹,
     #               cov = Kxx − colsum(a²) + colsum((Luᵀa)²),
-    #               mean = (Lzz⁻ᵀμ)ᵀ Kzx
+    #               mean = (Wᵀμ)ᵀ Kzx
     #   unwhitened: ã = K⁻¹Kzx per chunk (matmul against the K⁻¹ the KL
     #               already built — shared or per-factor),
     #               cov = Kxx − colsum(Kzx ⊙ ã) + colsum((Luᵀã)²),
     #               mean = (K⁻¹μ)ᵀ Kzx
-    # — no (L, M, M) solve precompute in either case; the only per-chunk
-    # triangular solve left is the whitened parameterization's.
+    # — the factored path runs no triangular solves at all.
+    w_inv = None
     if factored:
         c_fac = lu
         mu_arr = jnp.asarray(gp.mu)
         with jax.default_matmul_precision("highest"):
             if whitened:
-                if mu_arr.ndim == 2 and lzz.ndim == 2:
-                    # one flat shared solve, not an L-batched one
-                    m_fac = jax.scipy.linalg.solve_triangular(
-                        lzz, mu_arr.T, lower=True, trans=1
-                    ).T  # (L, M) of Lzz⁻ᵀ μ
-                else:
-                    mu_b = (jnp.broadcast_to(
-                        mu_arr, lzz.shape[:-2] + mu_arr.shape[-1:]
-                    )[..., None] if lzz.ndim == 3 else mu_arr[:, None])
-                    m_fac = jax.scipy.linalg.solve_triangular(
-                        lzz, mu_b, lower=True, trans=1
-                    )[..., 0]  # Lzz⁻ᵀ μ
+                w_inv = tri_inverse(lzz)
+                mu_l = (jnp.atleast_2d(mu_arr) if w_inv.ndim == 2
+                        else jnp.broadcast_to(
+                            jnp.atleast_2d(mu_arr),
+                            w_inv.shape[:1] + mu_arr.shape[-1:]))
+                m_fac = jnp.einsum(
+                    "km,lk->lm" if w_inv.ndim == 2 else "lkm,lk->lm",
+                    w_inv, mu_l)  # Lzz⁻ᵀ μ = Wᵀ μ
+                if mu_arr.ndim == 1 and w_inv.ndim == 2:
+                    m_fac = m_fac[0]  # keep the unbatched qF shape
             elif k_inv.ndim == 3:
                 mu_l = jnp.broadcast_to(
                     jnp.atleast_2d(mu_arr),
@@ -287,9 +286,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             mean = jnp.einsum("...mn,...m->...n", kzx, m_fac,
                               precision=jax.lax.Precision.HIGHEST)
             if whitened:
+                # a = Lzz⁻¹Kzx as a matmul against the blocked inverse
                 with jax.default_matmul_precision("highest"):
-                    a = jax.scipy.linalg.solve_triangular(
-                        lzz, kzx, lower=True)
+                    a = jnp.einsum(
+                        "ij,...jb->...ib" if w_inv.ndim == 2 else
+                        "lij,ljb->lib", w_inv, kzx)
                 cov = jnp.clip(kxx - jnp.sum(jnp.square(a), axis=-2),
                                min=0.0)
             else:
