@@ -131,10 +131,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     matmul form against K⁻¹ (built by the blocked triangular inverse,
     ``ops.linalg.tri_inverse``) and every per-chunk triangular solve
     becomes a K⁻¹ matmul: ã = K⁻¹Kzx, cov = Kxx − colsum(Kzx ⊙ ã) +
-    colsum((Luᵀã)²). v5e runs the batched solves this replaces at
-    ~6 TF/s vs ~94 TF/s for the matmuls. The whitened parameterization
-    keeps its single per-chunk solve. Identical math (float64-verified
-    in tests); float32 values differ at roundoff.
+    colsum((Luᵀã)²). The whitened parameterization likewise runs its
+    projection as a matmul against W = Lzz⁻¹. v5e runs the batched
+    solves these replace at ~6 TF/s vs ~94 TF/s for the matmuls.
+    Identical math (float64-verified in tests); float32 values differ
+    at roundoff.
 
     ``groups``: per-spot group labels (N,) for multi-group (MGGP) models —
     threaded into the group-aware kernel exactly like
