@@ -186,7 +186,7 @@ def main():
                    help="'pre' = precomputed-projection step (24.4 steps/s "
                         "measured — no per-step solves, panel-blocked "
                         "triangular contractions), 'fast' = per-step "
-                        "blockwise path (18.0; needed when Z or the "
+                        "blockwise path (22.0; needed when Z or the "
                         "kernel train — see docs/PERFORMANCE.md)")
     p.add_argument("--verify", action="store_true",
                    help="run the on-device Pallas kernel verification + "

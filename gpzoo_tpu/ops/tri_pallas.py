@@ -66,10 +66,6 @@ def _mask_rows(t, valid):
     return jnp.where(rows < valid, t, jnp.zeros_like(t))
 
 
-def _mask_cols(t, valid):
-    cols = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-    return jnp.where(cols < valid, t, jnp.zeros_like(t))
-
 
 # ---------------------------------------------------------------------------
 # Forward: c[l, m, b] = Σ_{k≥m} lu[l, k, m] a[k, b]

@@ -196,23 +196,29 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         # S = Lu Luᵀ is only consumed by the non-factored chunk path.
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
 
-    # Per-step factored precomputations (see docstring):
-    #   whitened:   a = Lzz⁻¹Kzx per chunk — a matmul against the
-    #               blocked triangular inverse W = Lzz⁻¹,
-    #               cov = Kxx − colsum(a²) + colsum((Luᵀa)²),
-    #               mean = (Wᵀμ)ᵀ Kzx
-    #   unwhitened: ã = K⁻¹Kzx per chunk (matmul against the K⁻¹ the KL
-    #               already built — shared or per-factor),
-    #               cov = Kxx − colsum(Kzx ⊙ ã) + colsum((Luᵀã)²),
-    #               mean = (K⁻¹μ)ᵀ Kzx
-    # — the factored path runs no triangular solves at all.
+    # Per-step factored precomputations (see docstring). Every per-chunk
+    # projection is a matmul (no triangular solves anywhere):
+    #   whitened:     a = W Kzx (W = Lzz⁻¹, blocked inverse),
+    #                 cov = Kxx − colsum(a²) + colsum((Luᵀa)²),
+    #                 mean = (Wᵀμ)ᵀ Kzx
+    #   unwhitened,   ã = K⁻¹Kzx (one matmul),
+    #   jitter ≥ 1e-2: cov = Kxx − colsum(Kzx ⊙ ã) + colsum((Luᵀã)²)
+    #   unwhitened,   a = W Kzx then ã = Wᵀa (two matmuls):
+    #   jitter < 1e-2: cov = Kxx − colsum(a²) + colsum((Luᵀã)²)
+    # The single-matmul subtrahend Kzx⊙ã sums signed terms — worst-case
+    # O(κ²ε) vs the norm-squared form's O(κε) — so it is gated on the
+    # (static) jitter: the Slideseq-class configs (jitter 1e-1, where it
+    # is measured-safe: identical loss trajectory and held-out deviance)
+    # keep the cheaper form; small-jitter configs take the stable one.
     w_inv = None
+    stable_proj = whitened or gp.jitter < 1e-2
     if factored:
         c_fac = lu
         mu_arr = jnp.asarray(gp.mu)
         with jax.default_matmul_precision("highest"):
-            if whitened:
+            if stable_proj:
                 w_inv = tri_inverse(lzz)
+            if whitened:
                 mu_l = (jnp.atleast_2d(mu_arr) if w_inv.ndim == 2
                         else jnp.broadcast_to(
                             jnp.atleast_2d(mu_arr),
@@ -286,18 +292,24 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         if factored:
             mean = jnp.einsum("...mn,...m->...n", kzx, m_fac,
                               precision=jax.lax.Precision.HIGHEST)
-            if whitened:
-                # a = Lzz⁻¹Kzx as a matmul against the blocked inverse
+            if stable_proj:
+                # a = Lzz⁻¹Kzx against the blocked inverse; norm-squared
+                # subtrahend keeps the solve path's O(κε) error class
                 with jax.default_matmul_precision("highest"):
                     a = jnp.einsum(
                         "ij,...jb->...ib" if w_inv.ndim == 2 else
                         "lij,ljb->lib", w_inv, kzx)
-                cov = jnp.clip(kxx - jnp.sum(jnp.square(a), axis=-2),
-                               min=0.0)
+                cov = kxx - jnp.sum(jnp.square(a), axis=-2)
+                if whitened:
+                    cov = jnp.clip(cov, min=0.0)
+                else:
+                    # ã = Wᵀa = K⁻¹Kzx — Cᵀa becomes Luᵀã
+                    with jax.default_matmul_precision("highest"):
+                        a = jnp.einsum(
+                            "ji,...jb->...ib" if w_inv.ndim == 2 else
+                            "lji,ljb->lib", w_inv, a)
             else:
-                # ã = K⁻¹Kzx as a matmul against the KL's K⁻¹ (shared or
-                # per-factor) — the v5e runs matmuls ~15× faster than
-                # the triangular solves this replaces.
+                # big-jitter configs: one K⁻¹ matmul (measured-safe here)
                 with jax.default_matmul_precision("highest"):
                     a = jnp.einsum(
                         "ij,...jb->...ib" if k_inv.ndim == 2 else
