@@ -315,3 +315,46 @@ def test_precomputed_whitened(key):
     assert proj.whitened and proj.k_inv is None
     fast = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
     assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+
+
+def test_small_jitter_projection_stability(rng):
+    """The conditioning gate's reason to exist: at small jitter in
+    float32, the norm-squared subtrahend colsum((W Kzx)²) (stable path,
+    jitter < 1e-2) stays accurate while colsum(Kzx ⊙ K⁻¹Kzx) can lose
+    digits. Checks the stable form against the float64 truth."""
+    import numpy as np
+
+    from gpzoo_tpu.ops.linalg import spd_inverse_from_cholesky, tri_inverse
+
+    m, b = 256, 128
+    # clustered inducing points → ill-conditioned Gram
+    z = np.repeat(rng.uniform(-1, 1, size=(m // 4, 2)), 4, axis=0)
+    z += 1e-3 * rng.standard_normal((m, 2))
+    xb = rng.uniform(-1, 1, size=(b, 2))
+    d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(-1)
+    kzz64 = np.exp(-0.5 * d2) + 1e-4 * np.eye(m)
+    d2x = ((z[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    kzx64 = np.exp(-0.5 * d2x)
+
+    # float64 truth for the variance subtrahend
+    truth = np.sum(kzx64 * np.linalg.solve(kzz64, kzx64), axis=0)
+
+    lzz32 = jnp.asarray(np.linalg.cholesky(kzz64), jnp.float32)
+    kzx32 = jnp.asarray(kzx64, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        w = tri_inverse(lzz32, block=128)
+        a = jnp.einsum("ij,jb->ib", w, kzx32)
+        stable = jnp.sum(jnp.square(a), axis=0)
+        k_inv = spd_inverse_from_cholesky(lzz32, block=128)
+        at = jnp.einsum("ij,jb->ib", k_inv, kzx32)
+        fast = jnp.sum(kzx32 * at, axis=0)
+
+    scale = float(np.max(np.abs(truth)))
+    err_stable = float(np.max(np.abs(np.asarray(stable, np.float64)
+                                     - truth))) / scale
+    err_fast = float(np.max(np.abs(np.asarray(fast, np.float64)
+                                   - truth))) / scale
+    # the stable form must stay float32-accurate at this conditioning
+    assert err_stable < 5e-5, (err_stable, err_fast)
+    # and not be worse than the gated-off fast form
+    assert err_stable <= err_fast * 2, (err_stable, err_fast)
