@@ -11,6 +11,8 @@ flow, not the mutation.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -157,6 +159,53 @@ def tri_inverse(l, block=512):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def cholesky_blocked(k, block=512):
+    """Batched Cholesky via right-looking 2×2 block recursion — matmuls
+    instead of XLA's serialized blocked loop.
+
+        K = [[K11, K21ᵀ], [K21, K22]]
+        L11 = chol(K11)                 (recurse; ≤``block`` → stock)
+        L21 = K21 L11⁻ᵀ                 (tri_inverse + one matmul)
+        L22 = chol(K22 − L21 L21ᵀ)      (recurse on the Schur complement)
+
+    XLA's TPU Cholesky lowers to a column-blocked ``while`` loop that
+    leaves the MXU mostly idle on large batched operands (the same op
+    class as the ~6 TF/s batched triangular solves, docs/PERFORMANCE.md);
+    here only ≤``block``-wide diagonal panels run the stock factorization
+    — the L21 panel and the Schur update are HIGHEST-precision matmuls.
+    Accuracy is the standard blocked-Cholesky O(κ·ε) class (asserted
+    against stock in tests/test_ops.py). ``k``: (..., M, M) SPD, any batch
+    rank. Returns the lower-triangular factor.
+
+    Measured negative result (v5e, benchmarks/mggp_anatomy.py, round 3):
+    at the MGGP full-scale (20, 3010, 3010) batch the stock forward runs
+    36.5 ms vs 43.3 ms blocked — XLA's batched Cholesky is NOT in the
+    ~6 TF/s solve class at this shape (the L=20 batch keeps its inner
+    loop fed), so the blocked form's extra recursion/concat overhead
+    loses. Kept tested and dispatchable for shapes where stock degrades
+    (unbatched very large M); the production paths use the stock forward.
+    """
+    m = k.shape[-1]
+    if m <= block:
+        return jnp.linalg.cholesky(k)
+    h = ((m // 2 + 127) // 128) * 128
+    if h >= m:
+        h = m // 2
+    l11 = cholesky_blocked(k[..., :h, :h], block)
+    w11 = tri_inverse(l11, block)
+    with jax.default_matmul_precision("highest"):
+        l21 = jnp.einsum("...ij,...kj->...ik", k[..., h:, :h], w11)
+        schur = k[..., h:, h:] - jnp.einsum(
+            "...ij,...kj->...ik", l21, l21
+        )
+    l22 = cholesky_blocked(schur, block)
+    top = jnp.concatenate(
+        [l11, jnp.zeros(k.shape[:-2] + (h, m - h), k.dtype)], axis=-1
+    )
+    bottom = jnp.concatenate([l21, l22], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def spd_inverse_from_cholesky(lz, block=512):
     """K⁻¹ = Lzz⁻ᵀ Lzz⁻¹ from the Cholesky factor, via the blocked
     triangular inverse + one (..., M, M) matmul — the matmul-form-KL /
@@ -189,6 +238,9 @@ def cholesky_mm(k):
     Reverse-mode only: like any ``custom_vjp`` without a JVP rule,
     forward-mode autodiff (``jax.jvp``/``jacfwd``/Hessians) through this
     op raises — use ``jnp.linalg.cholesky`` for curvature computations.
+
+    (The forward stays stock: :func:`cholesky_blocked` measured *slower*
+    at the MGGP full-scale batch — see its docstring.)
     """
     return jnp.linalg.cholesky(k)
 
@@ -211,3 +263,60 @@ def _cholesky_mm_bwd(l, dl):
 
 
 cholesky_mm.defvjp(_cholesky_mm_fwd, _cholesky_mm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def cholesky_inverse_mm(k, bwd_precision="highest"):
+    """``(L, W) = (chol(K), L⁻¹)`` with one combined matmul-form backward.
+
+    The per-factor trainable-kernel fast path (MGGP full scale) consumes
+    both the Cholesky factor and its inverse every step. Differentiating
+    them as separate ops runs the blocked-inverse recursion twice (once in
+    ``cholesky_mm``'s backward, once for autodiff through
+    :func:`tri_inverse`); this op shares the forward ``W`` across both
+    cotangents:
+
+        L̄_total = tril(dL) − tril(Wᵀ dW Wᵀ)          (d(L⁻¹) = −L⁻¹ dL L⁻¹)
+        K̄       = ½ Wᵀ (Φ(Lᵀ L̄_total) + Φ(Lᵀ L̄_total)ᵀ) W
+
+    with Φ(X) = tril(X) with the diagonal halved (Murray 2016) — five
+    batched matmuls, zero triangular solves, zero re-inversions. Values
+    match (``jnp.linalg.cholesky``, :func:`tri_inverse`); gradients match
+    autodiff through that pair to roundoff (tests/test_ops.py).
+    Reverse-mode only (no JVP rule).
+
+    ``bwd_precision`` (static): matmul precision of the five backward
+    einsums. These touch GRADIENTS only (the forward L/W values stay
+    full-precision), so the error budget is gradient noise swallowed by
+    the stochastic ELBO/Adam — not loss-value accuracy. At the MGGP full
+    scale the HIGHEST backward costs ~219 ms vs ~60 ms at ``"default"``
+    (bf16 inputs, f32 accumulation); see docs/PERFORMANCE.md for the
+    measured trajectory check that gates the fast setting.
+    """
+    l = jnp.linalg.cholesky(k)
+    return l, tri_inverse(l)
+
+
+def _cholesky_inverse_mm_fwd(k, bwd_precision):
+    l = jnp.linalg.cholesky(k)
+    w = tri_inverse(l)
+    return (l, w), (l, w)
+
+
+def _cholesky_inverse_mm_bwd(bwd_precision, res, cots):
+    l, w = res
+    dl, dw = cots
+    m = l.shape[-1]
+    eye = jnp.eye(m, dtype=bool)
+    with jax.default_matmul_precision(bwd_precision):
+        lbar = jnp.tril(dl) - jnp.tril(
+            jnp.einsum("...ki,...kl,...jl->...ij", w, dw, w)
+        )
+        p = jnp.einsum("...ki,...kj->...ij", l, lbar)  # Lᵀ L̄
+        phi = jnp.where(eye, 0.5 * p, jnp.tril(p))
+        phi = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+        kbar = jnp.einsum("...ki,...kl,...lj->...ij", w, phi, w)
+    return (kbar,)
+
+
+cholesky_inverse_mm.defvjp(_cholesky_inverse_mm_fwd, _cholesky_inverse_mm_bwd)

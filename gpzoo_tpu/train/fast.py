@@ -34,13 +34,14 @@ from flax import struct
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, softplus
 from gpzoo_tpu.gps.svgp import SVGP, WSVGP
-from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_mm,
-                                  spd_inverse_from_cholesky, tri_inverse,
-                                  tril_logdet, whitened_kl)
-from gpzoo_tpu.ops.tri_blocked import tri_kl_trace, tri_sq_colsum
+from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_inverse_mm,
+                                  cholesky_mm, spd_inverse_from_cholesky,
+                                  tri_inverse, tril_logdet, whitened_kl)
+from gpzoo_tpu.ops.tri_blocked import (tri_kl_trace, tri_matmul,
+                                       tri_sq_colsum, tri_tri_matmul)
 
 
-def _matmul_kl(mu, lu, lzz):
+def _matmul_kl(mu, lu, lzz, k_inv=None):
     """Σ_l KL(N(μ_l, Lu_l Lu_lᵀ) ‖ N(0, Kzz_l)) computed with matmuls
     against K⁻¹ instead of (L-batched) triangular solves (6 TF/s vs
     94 TF/s on v5e):
@@ -49,11 +50,14 @@ def _matmul_kl(mu, lu, lzz):
 
     ``lzz`` may be shared (M, M) or per-factor (L, M, M); K⁻¹ itself is
     built by the blocked triangular inverse (ops.linalg.tri_inverse) —
-    matmuls all the way down. Returns (kl_sum, K⁻¹) so callers can reuse
-    the inverse for the posterior projection.
+    matmuls all the way down — unless a precomputed ``k_inv`` is passed
+    (callers that already hold W = Lzz⁻¹ form K⁻¹ = WᵀW themselves so the
+    blocked inverse runs exactly once). Returns (kl_sum, K⁻¹) so callers
+    can reuse the inverse for the posterior projection.
     """
     m_dim = lzz.shape[-1]
-    k_inv = spd_inverse_from_cholesky(lzz)
+    if k_inv is None:
+        k_inv = spd_inverse_from_cholesky(lzz)
     lu_l = lu if lu.ndim == 3 else lu[None]
     mu_l = jnp.atleast_2d(jnp.asarray(mu))
     # panel-blocked: Lu's column panel k only touches K⁻¹'s trailing
@@ -117,7 +121,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               unnormalized=True, microbatch=1024,
                               factored=False, y_transposed=False,
                               shared_kernel=False, groups=None,
-                              remat=True):
+                              remat=True, stable_projection=None,
+                              grad_precision=None):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -140,6 +145,15 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     ``groups``: per-spot group labels (N,) for multi-group (MGGP) models —
     threaded into the group-aware kernel exactly like
     ``MGGP_NSF.forward_batched`` (likelihoods.py:344-361).
+
+    ``grad_precision`` (static): matmul precision of the combined
+    Cholesky+inverse *backward* on the per-factor (w_form) path — touches
+    gradients only, never loss values. Auto (None): ``"default"`` (bf16
+    inputs, f32 accumulation) for well-jittered configs (jitter ≥ 1e-2),
+    ``"highest"`` otherwise — at the MGGP full scale the bf16 backward is
+    156 ms/step faster with the held-out deviance identical to 4 decimals
+    (31.5419 vs 31.5420) and the loss trajectory tracking to 4.5e-4 over
+    32 steps (docs/PERFORMANCE.md). Pass an explicit value to override.
     """
     gp = getattr(model, "prior", None)
     if gp is None:
@@ -167,12 +181,58 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     with jax.default_matmul_precision("highest"):
         kzz = add_jitter(kernel.gram(gp.Z, gp.Z, groups_z, groups_z),
                          gp.jitter)
-        # matmul-form Cholesky VJP: with trainable kernels the backward
-        # through chol(Kzz) is two ~6 TF/s batched solves in stock XLA —
-        # cholesky_mm reverse-differentiates via the blocked triangular
-        # inverse instead (frozen kernels DCE the backward either way)
-        lzz = cholesky_mm(kzz)
+        # Per-factor prior Choleskys (L, M, M) — the trainable-kernel
+        # MGGP/NSF configuration — take the W-form path: (Lzz, W = Lzz⁻¹)
+        # from ONE combined custom-VJP op, the KL trace as ‖W·Lu‖²_F, the
+        # chunk projection as a = W·Kzx with colsum((Cᵀa)²), C = W·Lu.
+        # No K⁻¹ is ever built: at full MGGP scale the (20, 3010, 3010)
+        # K⁻¹ = WᵀW product and its backward dominated the step
+        # (benchmarks/mggp_anatomy.py: 118 ms fwd of a 1025 ms step).
+        w_form = factored and not whitened and kzz.ndim == 3
+        if w_form:
+            if grad_precision is None:
+                grad_precision = ("default" if gp.jitter >= 1e-2
+                                  else "highest")
+            lzz, w_inv = cholesky_inverse_mm(kzz, grad_precision)
+        else:
+            # matmul-form Cholesky VJP: with trainable kernels the
+            # backward through chol(Kzz) is two ~6 TF/s batched solves in
+            # stock XLA — cholesky_mm reverse-differentiates via the
+            # blocked triangular inverse instead (frozen kernels DCE the
+            # backward either way)
+            lzz = cholesky_mm(kzz)
     lu = lower_cholesky(gp.Lu_raw)
+
+    # Projection-form gate (see the derivation comment below): the
+    # single-matmul K⁻¹Kzx subtrahend is O(κ²ε) worst-case vs the
+    # norm-squared form's O(κε), so small-jitter configs take the stable
+    # two-sided form. ``stable_projection`` overrides the static
+    # jitter-based auto-gate (advisor round 2: a large-amplitude kernel
+    # can be ill-conditioned relative to its scale even at jitter ≥ 1e-2
+    # — callers who know their conditioning can force the stable form).
+    stable_proj = bool(
+        whitened
+        or (gp.jitter < 1e-2 if stable_projection is None
+            else stable_projection)
+    )
+    # W = Lzz⁻¹ via the blocked triangular inverse — computed at most ONCE
+    # and shared between the KL's K⁻¹ = WᵀW and the per-chunk projections.
+    # (The w_form path above already holds W and never forms K⁻¹.)
+    k_inv = None
+    if factored and not w_form:
+        if not whitened:
+            w_inv = None
+        with jax.default_matmul_precision("highest"):
+            if stable_proj:
+                w_inv = tri_inverse(lzz)
+            if not whitened:
+                k_inv = (
+                    jnp.einsum("...ki,...kj->...ij", w_inv, w_inv)
+                    if w_inv is not None
+                    else spd_inverse_from_cholesky(lzz)
+                )
+    elif not factored:
+        w_inv = None
 
     # KL term — batch-independent (utilities.py:616 keeps it unscaled).
     # When the Cholesky is shared across factors (shared_kernel +
@@ -181,14 +241,32 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # — the generic path's batched (L, M, M) triangular solve runs at
     # ~6 TF/s on v5e vs ~94 TF/s for the equivalent matmuls.
     s = None
-    k_inv = None
+    c_wlu = None
+    wmu = None
     if whitened:
         kl = jnp.sum(whitened_kl(gp.mu, lu))
+    elif w_form:
+        # W-form KL: tr(K⁻¹S) = ‖W·Lu‖²_F and μᵀK⁻¹μ = ‖Wμ‖² — C = W·Lu
+        # (lower-triangular, panel-blocked product) and Wμ are reused by
+        # every chunk's variance/mean below, so the KL itself is free.
+        m_dim = lzz.shape[-1]
+        lu_l = lu if lu.ndim == 3 else lu[None]
+        mu_l = jnp.broadcast_to(
+            jnp.atleast_2d(jnp.asarray(gp.mu)),
+            lzz.shape[:1] + jnp.asarray(gp.mu).shape[-1:])
+        with jax.default_matmul_precision("highest"):
+            c_wlu = tri_tri_matmul(w_inv, lu_l)
+            wmu = jnp.einsum("lij,lj->li", w_inv, mu_l)
+        trace = jnp.sum(jnp.square(c_wlu), axis=(-2, -1))
+        maha = jnp.sum(jnp.square(wmu), axis=-1)
+        kl = jnp.sum(
+            0.5 * (trace + maha - m_dim)
+            + tril_logdet(lzz) - tril_logdet(lu_l)
+        )
     elif factored:
         # shared (M, M) or per-factor (L, M, M) prior Cholesky: matmul-form
-        # KL; the K⁻¹ (built by the blocked triangular inverse — no
-        # ~6 TF/s full-width solves) is reused by the projection below.
-        kl, k_inv = _matmul_kl(gp.mu, lu, lzz)
+        # KL against the K⁻¹ built above (reused by the projection below).
+        kl, _ = _matmul_kl(gp.mu, lu, lzz, k_inv=k_inv)
     else:
         pu = dists.MultivariateNormalTril(jnp.zeros_like(gp.mu), lzz)
         qu = dists.MultivariateNormalTril(gp.mu, lu)
@@ -209,15 +287,14 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # O(κ²ε) vs the norm-squared form's O(κε) — so it is gated on the
     # (static) jitter: the Slideseq-class configs (jitter 1e-1, where it
     # is measured-safe: identical loss trajectory and held-out deviance)
-    # keep the cheaper form; small-jitter configs take the stable one.
-    w_inv = None
-    stable_proj = whitened or gp.jitter < 1e-2
-    if factored:
+    # keep the cheaper form; small-jitter configs take the stable one
+    # (and ``stable_projection=`` overrides the auto-gate).
+    # The w_form (per-factor) path needs no m_fac: mean = (Wμ)ᵀ(W·Kzx)
+    # reuses the chunk's a-matmul, so nothing else is precomputed.
+    if factored and not w_form:
         c_fac = lu
         mu_arr = jnp.asarray(gp.mu)
         with jax.default_matmul_precision("highest"):
-            if stable_proj:
-                w_inv = tri_inverse(lzz)
             if whitened:
                 mu_l = (jnp.atleast_2d(mu_arr) if w_inv.ndim == 2
                         else jnp.broadcast_to(
@@ -289,7 +366,20 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         gc = gc if groups is not None else None
         kxx = kernel.diag(xc, gc)  # (L, mb) / (mb,)
         kzx = kernel.gram(gp.Z, xc, groups_z, gc)  # (L, M, mb) / (M, mb)
-        if factored:
+        if w_form:
+            # ONE triangular matmul per chunk: a = W·Kzx (panel-blocked,
+            # skipping W's structural zeros). Variance is the stable
+            # norm-squared form colsum(a²) (O(κε)); the S-term reuses the
+            # hoisted C = W·Lu as colsum((Cᵀa)²) — the ã = K⁻¹Kzx matmul
+            # of the K⁻¹ path never happens. Mean = (Wμ)ᵀa.
+            with jax.default_matmul_precision("highest"):
+                a = tri_matmul(w_inv, kzx)  # (L, M, mb)
+                mean = jnp.einsum("lm,lmb->lb", wmu, a,
+                                  precision=jax.lax.Precision.HIGHEST)
+            cov = kxx - jnp.sum(jnp.square(a), axis=-2)
+            cov = cov + tri_sq_colsum(c_wlu, a)
+            scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
+        elif factored:
             mean = jnp.einsum("...mn,...m->...n", kzx, m_fac,
                               precision=jax.lax.Precision.HIGHEST)
             if stable_proj:

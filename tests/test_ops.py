@@ -158,6 +158,82 @@ def test_tri_inverse_matches_solve(rng):
                                    atol=1e-9)
 
 
+def test_cholesky_inverse_mm_matches_autodiff(rng):
+    """Combined (chol, inverse) op: values match the (stock cholesky,
+    tri_inverse) pair; the shared-W custom VJP matches autodiff through
+    that pair with cotangents on BOTH outputs."""
+    from gpzoo_tpu.ops.linalg import cholesky_inverse_mm, tri_inverse
+
+    a = rng.standard_normal((3, 200, 200)) * 0.3
+    k = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(200))
+    gl = jnp.asarray(rng.standard_normal((3, 200, 200)))
+    gw = jnp.asarray(rng.standard_normal((3, 200, 200)))
+
+    l, w = cholesky_inverse_mm(k)
+    np.testing.assert_allclose(np.asarray(l),
+                               np.asarray(jnp.linalg.cholesky(k)))
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(tri_inverse(jnp.linalg.cholesky(k))),
+        atol=1e-12)
+
+    def loss_ref(k_):
+        l_ = jnp.linalg.cholesky(k_)
+        w_ = tri_inverse(l_)
+        return jnp.sum(gl * l_) + jnp.sum(gw * w_)
+
+    def loss_mm(k_):
+        l_, w_ = cholesky_inverse_mm(k_)
+        return jnp.sum(gl * l_) + jnp.sum(gw * w_)
+
+    gr = jax.grad(loss_ref)(k)
+    gm = jax.grad(loss_mm)(k)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gr),
+                               rtol=1e-9, atol=1e-10)
+    # single-cotangent cases too (only L used / only W used)
+    gr_l = jax.grad(lambda k_: jnp.sum(gl * jnp.linalg.cholesky(k_)))(k)
+    gm_l = jax.grad(lambda k_: jnp.sum(gl * cholesky_inverse_mm(k_)[0]))(k)
+    np.testing.assert_allclose(np.asarray(gm_l), np.asarray(gr_l),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_tri_blocked_matmuls_match_dense(rng):
+    from gpzoo_tpu.ops.tri_blocked import tri_matmul, tri_tri_matmul
+
+    for batch in ((), (3,)):
+        w = np.tril(rng.standard_normal(batch + (257, 257)))
+        lu = np.tril(rng.standard_normal(batch + (257, 257)))
+        rhs = rng.standard_normal(batch + (257, 40))
+        np.testing.assert_allclose(
+            np.asarray(tri_matmul(jnp.asarray(w), jnp.asarray(rhs),
+                                  panels=4)),
+            w @ rhs, atol=1e-10)
+        c = np.asarray(tri_tri_matmul(jnp.asarray(w), jnp.asarray(lu),
+                                      panels=4))
+        np.testing.assert_allclose(c, w @ lu, atol=1e-10)
+        assert np.all(np.triu(c, 1) == 0.0)
+    # broadcast: per-factor w with shared lu
+    w = np.tril(rng.standard_normal((2, 257, 257)))
+    lu = np.tril(rng.standard_normal((257, 257)))
+    np.testing.assert_allclose(
+        np.asarray(tri_tri_matmul(jnp.asarray(w), jnp.asarray(lu),
+                                  panels=4)),
+        w @ lu, atol=1e-10)
+
+
+def test_cholesky_blocked_matches_stock(rng):
+    from gpzoo_tpu.ops.linalg import cholesky_blocked
+
+    for batch in ((), (4,)):
+        a = rng.standard_normal(batch + (300, 300)) * 0.3
+        k = a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(300)
+        l_b = cholesky_blocked(jnp.asarray(k), block=128)
+        l_s = np.linalg.cholesky(k)
+        np.testing.assert_allclose(np.asarray(l_b), l_s,
+                                   rtol=1e-10, atol=1e-12)
+        # strictly upper stays exactly zero (concat layout)
+        assert np.all(np.triu(np.asarray(l_b), 1) == 0.0)
+
+
 def test_cholesky_mm_matches_builtin(rng):
     from gpzoo_tpu.ops.linalg import cholesky_mm
 
