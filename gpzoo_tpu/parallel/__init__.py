@@ -5,6 +5,7 @@ from gpzoo_tpu.parallel.mesh import (
     initialize_distributed,
 )
 from gpzoo_tpu.parallel.sharding import (
+    put_sharded,
     replicate,
     shard_columns,
     factor_shardings,
@@ -17,6 +18,7 @@ __all__ = [
     "data_parallel_mesh",
     "hybrid_mesh",
     "initialize_distributed",
+    "put_sharded",
     "replicate",
     "shard_columns",
     "factor_shardings",

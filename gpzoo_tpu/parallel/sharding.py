@@ -29,10 +29,34 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from gpzoo_tpu.train.loop import _value_and_grad
 
 
+def _put_leaf(leaf, sharding):
+    """Place one host/device array under ``sharding`` — multi-process
+    safe: when the sharding spans non-addressable devices (a
+    ``jax.distributed`` job), every process contributes its addressable
+    pieces from the (process-identical) host value."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(leaf, sharding)
+    import numpy as np
+
+    arr = np.asarray(leaf)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def put_sharded(tree, shardings):
+    """``device_put`` a pytree under a matching shardings pytree (or one
+    sharding for all leaves), multi-process safe."""
+    if isinstance(shardings, jax.sharding.Sharding):
+        return jax.tree_util.tree_map(
+            lambda leaf: _put_leaf(leaf, shardings), tree
+        )
+    return jax.tree_util.tree_map(_put_leaf, tree, shardings)
+
+
 def replicate(mesh, tree):
     """Place a pytree fully replicated on ``mesh``."""
-    sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return put_sharded(tree, NamedSharding(mesh, P()))
 
 
 def shard_columns(mesh, array, axis_name="data"):
@@ -40,7 +64,7 @@ def shard_columns(mesh, array, axis_name="data"):
     used for the counts matrix y so each chip holds only its spots."""
     spec = [None] * array.ndim
     spec[-1] = axis_name
-    return jax.device_put(array, NamedSharding(mesh, P(*spec)))
+    return put_sharded(array, NamedSharding(mesh, P(*spec)))
 
 
 # Per-factor parameter leaves: the L-batched inducing means (L, M), raw
@@ -102,7 +126,7 @@ def shard_factor_params(mesh, state, num_factors, axis_name="factor",
     updated state keeps the layout across steps."""
     shardings = factor_shardings(mesh, state, num_factors, axis_name,
                                  param_names)
-    return jax.device_put(state, shardings), shardings
+    return put_sharded(state, shardings), shardings
 
 
 def make_sharded_batched_train_step(loss_fn, optimizer, num_points,

@@ -1,4 +1,4 @@
-"""Checkpoint / deterministic resume.
+"""Checkpoint / deterministic resume — sharding-aware.
 
 The reference checkpoints with notebook-level ``torch.save(state_dict)``
 and never saves optimizer state (SURVEY.md §5). Here one artifact holds the
@@ -6,33 +6,169 @@ complete resume state — model pytree, optax state, step counter, PRNG key —
 so a restored run continues bit-identically (same minibatch indices, same
 sample noise).
 
-Serialization is flax msgpack (``flax.serialization``): a single file,
-no directory layout, restorable with only a template pytree of matching
-structure.
+Sharding contract (round 3):
+
+* **save, single process** (any number of local devices): every shard is
+  addressable, so the state gathers to host and serializes to ONE flax
+  msgpack file — including TP-sharded TrainStates from
+  :func:`gpzoo_tpu.parallel.shard_factor_params`.
+* **save, multi process**: ``jax.device_get`` of non-addressable shards
+  would crash; instead each process writes ``<path>.shard<p>`` holding the
+  unique shards it can address (``replica_id == 0`` de-duplicates
+  replicated leaves), and all files together — on a shared filesystem —
+  form the checkpoint. A global device barrier orders the writes.
+* **restore**: pass ``shardings=`` (the pytree returned by
+  ``shard_factor_params`` / ``factor_shardings``, or any pytree of
+  ``NamedSharding``/``None`` leaves) to lay the restored state directly
+  onto its mesh — values land pre-partitioned, nothing is replicated
+  first. Without it the state is restored to host/default-device arrays
+  (single-process only).
+
+Round-trip of a factor-sharded TrainState — values to 1e-9 AND restored
+shardings — is asserted in tests/test_sharding.py; the 2-process CPU
+bring-up test exercises the multi-process shard files.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import re
 
 import jax
+import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(path, state):
-    """Serialize a :class:`gpzoo_tpu.train.loop.TrainState` (or any pytree)
-    to ``path``."""
-    data = serialization.to_bytes(jax.device_get(state))
+def _atomic_write(path, data):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def _slice_key(index, shape):
+    """Encode a global-shard index (tuple of slices) as 'a:b,c:d,...'."""
+    parts = []
+    for s, dim in zip(index, shape):
+        start = 0 if s.start is None else int(s.start)
+        stop = dim if s.stop is None else int(s.stop)
+        parts.append(f"{start}:{stop}")
+    return ",".join(parts)
+
+
+def _parse_slice_key(key):
+    if not key:
+        return ()
+    return tuple(
+        slice(int(a), int(b))
+        for a, b in (p.split(":") for p in key.split(","))
+    )
+
+
+def save_checkpoint(path, state):
+    """Serialize a :class:`gpzoo_tpu.train.loop.TrainState` (or any
+    pytree) to ``path``; see the module docstring for the sharding and
+    multi-process contract. Returns ``path``."""
+    if jax.process_count() == 1:
+        data = serialization.to_bytes(jax.device_get(state))
+        _atomic_write(path, data)
+        return path
+
+    # Multi-process: persist only the shards this process can address.
+    flat, _ = jax.tree_util.tree_flatten(state)
+    local = {}
+    for i, leaf in enumerate(flat):
+        if isinstance(leaf, jax.Array):
+            for sh in leaf.addressable_shards:
+                # replica 0 only: exactly one copy of each distinct shard
+                # is written across the whole job.
+                if sh.replica_id == 0:
+                    key = f"{i}|{_slice_key(sh.index, leaf.shape)}"
+                    local[key] = np.asarray(sh.data)
+        elif jax.process_index() == 0:
+            local[f"{i}|"] = np.asarray(leaf)
+    shard_path = f"{path}.shard{jax.process_index()}"
+    data = serialization.msgpack_serialize(local)
+    _atomic_write(shard_path, data)
+    # Barrier so no process reports success until every file is on disk.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gpzoo_ckpt_save")
     return path
 
 
-def restore_checkpoint(path, template):
-    """Restore a pytree saved by :func:`save_checkpoint`; ``template`` must
-    have the same structure (e.g. a freshly-built TrainState)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    return serialization.from_bytes(template, data)
+def _load_multiprocess(path, template):
+    """Reassemble a multi-process checkpoint (``<path>.shard*``) into host
+    numpy arrays shaped like ``template``'s leaves."""
+    files = sorted(glob.glob(glob.escape(path) + ".shard*"),
+                   key=lambda p: int(re.search(r"shard(\d+)$", p).group(1)))
+    if not files:
+        raise FileNotFoundError(f"no checkpoint at {path}(.shard*)")
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    out = [None] * len(flat)
+    for fp in files:
+        with open(fp, "rb") as f:
+            local = serialization.msgpack_restore(f.read())
+        for key, arr in local.items():
+            idx_s, slice_s = key.split("|")
+            i = int(idx_s)
+            tmpl = flat[i]
+            sl = _parse_slice_key(slice_s)
+            if not sl or all(
+                s == slice(0, d)
+                for s, d in zip(sl, np.shape(tmpl))
+            ):
+                out[i] = arr
+            else:
+                if out[i] is None:
+                    out[i] = np.empty(np.shape(tmpl), dtype=arr.dtype)
+                out[i][sl] = arr
+    missing = [i for i, o in enumerate(out) if o is None]
+    if missing:
+        raise ValueError(f"checkpoint {path} missing leaves {missing}")
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _place(state, shardings):
+    """Lay restored host arrays onto their mesh per ``shardings`` (leaves
+    may be ``None`` → leave as-is)."""
+
+    def put(leaf, sh):
+        if sh is None:
+            return leaf
+        arr = np.asarray(leaf)
+        if sh.is_fully_addressable:
+            return jax.device_put(arr, sh)
+        # multi-process: every process holds the full host array and
+        # contributes its addressable pieces.
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+
+    # shardings is the structure tree (None = leave that subtree alone):
+    # flattening it first lets a None cover a whole state subtree.
+    return jax.tree_util.tree_map(
+        lambda sh, leaf: put(leaf, sh), shardings, state,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def restore_checkpoint(path, template, shardings=None):
+    """Restore a pytree saved by :func:`save_checkpoint`.
+
+    ``template`` must have the same structure (e.g. a freshly-built
+    TrainState). ``shardings`` (optional): a matching pytree of
+    ``NamedSharding`` (or ``None``) leaves — e.g. the second return of
+    :func:`gpzoo_tpu.parallel.shard_factor_params` — applied so the
+    restored state lands partitioned on its mesh rather than replicated.
+    """
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            data = f.read()
+        state = serialization.from_bytes(template, data)
+    else:
+        state = _load_multiprocess(path, template)
+    if shardings is not None:
+        state = _place(state, shardings)
+    return state
