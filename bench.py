@@ -34,7 +34,8 @@ def log(*a):
 
 
 def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
-                  microbatch=None, loss="pre", holdout=None):
+                  microbatch=None, loss="pre", holdout=None,
+                  checkpoint=None):
     import jax
 
     # Matmul precision: the fast path pins its Cholesky/solves to HIGHEST
@@ -137,6 +138,39 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
             f"(loss {float(losses[-1]):.3e})")
     best = chunk / min(times)
 
+    if checkpoint:
+        # Checkpoint/resume at north-star scale (round-2 verdict item 7):
+        # save the live TrainState (~2.9 GB at full scale), run one more
+        # chunk, restore, re-run the same chunk — the deterministic-resume
+        # contract (train/checkpoint.py) demands bit-identical losses.
+        from gpzoo_tpu.train.checkpoint import (restore_checkpoint,
+                                                save_checkpoint)
+
+        template = jax.tree_util.tree_map(
+            lambda a: np.zeros(a.shape, a.dtype),
+            jax.eval_shape(lambda: state),
+        )
+        t0 = time.perf_counter()
+        save_checkpoint(checkpoint, state)
+        sz = os.path.getsize(checkpoint) / 1e9
+        log(f"checkpoint saved: {sz:.2f} GB in "
+            f"{time.perf_counter()-t0:.1f}s -> {checkpoint}")
+        # live continuation (donates `state`)
+        _, losses_live = runner(state, *step_args)
+        losses_live = np.asarray(jax.device_get(losses_live))
+        t0 = time.perf_counter()
+        restored = restore_checkpoint(checkpoint, template)
+        log(f"checkpoint restored in {time.perf_counter()-t0:.1f}s")
+        state, losses_resumed = runner(restored, *step_args)
+        losses_resumed = np.asarray(jax.device_get(losses_resumed))
+        if not np.array_equal(losses_live, losses_resumed):
+            raise AssertionError(
+                f"resume NOT bit-identical: live {losses_live[:3]} vs "
+                f"resumed {losses_resumed[:3]}"
+            )
+        log(f"resume bit-identical over {chunk} steps "
+            f"(loss[-1]={losses_resumed[-1]:.6e})")
+
     # Quality on the held-out spots: mean per-entry Poisson deviance of the
     # plug-in posterior rate (exp of the marginal mean). Guards against
     # "fast but wrong" regressions — synthetic counts, so the useful signal
@@ -188,6 +222,11 @@ def main():
                         "triangular contractions), 'fast' = per-step "
                         "blockwise path (22.0; needed when Z or the "
                         "kernel train — see docs/PERFORMANCE.md)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="save/restore a full-scale checkpoint mid-run and "
+                        "assert the loss trajectory resumes bit-identically"
+                        " (the deterministic-resume contract at the real "
+                        "~2.9 GB state size)")
     p.add_argument("--verify", action="store_true",
                    help="run the on-device Pallas kernel verification + "
                         "A/B timing harness (benchmarks/pallas_ab.py) "
@@ -210,7 +249,8 @@ def main():
     value, val_dev = run_nsf_bench(**shapes, chunk=args.steps_per_chunk,
                                    chunks=args.chunks,
                                    microbatch=args.microbatch,
-                                   loss=args.loss)
+                                   loss=args.loss,
+                                   checkpoint=args.checkpoint)
 
     vs_baseline = None
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -208,6 +208,31 @@ def verify(failures, interpret):
                                   jnp.tril(l_)),
         (kinv, lu), 5e-5, failures,
     )
+    # fused c² kernel: bf16 forward vs a bf16 oracle; grads ride the
+    # blocked-XLA VJP (tril contract on both sides)
+    _check(
+        "tri_pallas.tri_sq_colsum_fused",
+        lambda l_, a_: tri_pallas.tri_sq_colsum_fused(
+            jnp.tril(l_), a_, interpret, 256, 256, 256),
+        lambda l_, a_: jnp.sum(jnp.square(jnp.einsum(
+            "lkm,kb->lmb", jnp.tril(bf(l_)), bf(a_),
+            precision=jax.lax.Precision.HIGHEST)), axis=-2),
+        (lu, a), 2e-2, failures,
+    )
+    _check(
+        "tri_blocked.tri_matmul",
+        lambda l_, a_: tri_blocked.tri_matmul(jnp.tril(l_), a_, panels=4),
+        lambda l_, a_: jnp.einsum("lik,kb->lib", jnp.tril(l_), a_),
+        (lu, a), 5e-5, failures,
+    )
+    _check(
+        "tri_blocked.tri_tri_matmul",
+        lambda w_, l_: tri_blocked.tri_tri_matmul(jnp.tril(w_),
+                                                  jnp.tril(l_), panels=4),
+        lambda w_, l_: jnp.tril(jnp.einsum("lik,lkj->lij", jnp.tril(w_),
+                                           jnp.tril(l_))),
+        (lu * 0.1, lu), 5e-5, failures,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +308,22 @@ def time_ab():
     t_d = _timeit(jax.grad(
         lambda l_: jnp.sum(g2 * sq_dense(l_, a))), lu, iters=5)
     rows.append(("tri_sq_colsum f+b", f"L={Lb} M={mm} B={bb}", t_d, t_b))
+
+    # Fused c² Pallas kernel (verdict item 4): baseline = the production
+    # panel-blocked XLA form; tile variants probe the grid-overhead /
+    # VMEM trade (dropping the c out-buffer frees VMEM for a bigger TB).
+    t_bx = _timeit(tri_blocked.tri_sq_colsum, lu, a, iters=5)
+    for tiles in [(512, 1024), (512, 2048), (768, 1024)]:
+        tmk, tb_ = tiles
+        try:
+            t_f = _timeit(lambda l_, a_: tri_pallas.tri_sq_colsum_fused(
+                l_, a_, False, tmk, tmk, tb_), lu, a, iters=5)
+        except Exception as e:  # Mosaic compile failure at this tiling
+            log(f"  tri_sq_colsum_fused TM={tmk} TB={tb_}: "
+                f"compile failed ({type(e).__name__})")
+            continue
+        rows.append((f"sq_colsum_fused {tmk}/{tb_}",
+                     f"L={Lb} M={mm} B={bb}", t_bx, t_f))
 
     log(f"\n  {'kernel':20s} {'shape':22s} {'base ms':>8s} {'opt ms':>10s}"
         f" {'speedup':>8s}  (base = dense/unblocked XLA, opt = Pallas or"

@@ -64,15 +64,19 @@ def dims_autocorr(factors, coords, sort=True, n_neighs=6):
 
 
 def best_match_correlation(true_components, factors):
-    """Greedy without-replacement best-match Pearson correlation of each
+    """Optimal without-replacement best-match Pearson correlation of each
     row of ``true_components`` against the rows of ``factors``.
 
     The factor-recovery metric for simulated workloads (e.g. the
     toy-image NMF dictionary, Fake_nmf.ipynb analog): returns one
-    correlation per true component, each matched to a distinct factor.
+    correlation per true component, each matched to a distinct factor
+    by Hungarian assignment (maximizing the summed correlation) — unlike
+    greedy matching, the result is independent of component order.
     Requires ``factors`` to have at least as many rows as
     ``true_components``.
     """
+    from scipy.optimize import linear_sum_assignment
+
     p = np.asarray(true_components, np.float64)
     f = np.asarray(factors, np.float64)
     if f.shape[0] < p.shape[0]:
@@ -86,12 +90,5 @@ def best_match_correlation(true_components, factors):
         np.linalg.norm(p, axis=1)[:, None]
         * np.linalg.norm(f, axis=1)[None, :] + 1e-12
     )
-    out, used = [], set()
-    for i in range(p.shape[0]):
-        masked = np.where(
-            [j in used for j in range(corr.shape[1])], -np.inf, corr[i]
-        )
-        j = int(np.argmax(masked))
-        used.add(j)
-        out.append(corr[i, j])
-    return np.asarray(out)
+    rows, cols = linear_sum_assignment(-corr)
+    return corr[rows, cols]

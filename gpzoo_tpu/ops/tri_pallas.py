@@ -202,3 +202,127 @@ def _tri_bwd(interpret, tm, tk, tb, res, g):
 
 
 tri_t_matmul.defvjp(_tri_fwd, _tri_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused c² variant: out[l, b] = Σ_m (Σ_{k≥m} lu[l, k, m] a[k, b])²
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(m_tab, k_tab, lu_ref, a_ref, out_ref, acc_c, acc_o,
+                  *, nm, nk, tm, tk, m_dim, n_pairs):
+    """Same tile-skipping grid as ``tri_t_matmul``, but each completed
+    c-tile is squared and column-summed into a (1, TB) accumulator in
+    VMEM — the (L, M, B) c tensor never reaches HBM (the round-2 verdict's
+    "fused c2" lever: ~3.4 GB/step of write+read traffic)."""
+    t = pl.program_id(2)
+    m_idx = m_tab[t]
+    k_idx = k_tab[t]
+
+    lu_t = lu_ref[0]
+    a_t = a_ref[:]
+    if m_dim % tk:
+        valid = jnp.where(k_idx == nk - 1, m_dim - (nk - 1) * tk, tk)
+        lu_t = _mask_rows(lu_t, valid)
+        a_t = _mask_rows(a_t, valid)
+
+    prod = jax.lax.dot_general(
+        lu_t, a_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(k_idx == m_idx)
+    def _():
+        acc_c[:] = prod
+
+    @pl.when(k_idx != m_idx)
+    def _():
+        acc_c[:] += prod
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        # c-tile for row block m complete: fold its squares into the
+        # output accumulator. Rows beyond m_dim on the last m tile are
+        # garbage — mask before squaring.
+        c_t = acc_c[:]
+        if m_dim % tm:
+            c_valid = jnp.where(m_idx == nm - 1, m_dim - (nm - 1) * tm, tm)
+            c_t = _mask_rows(c_t, c_valid)
+        sq = jnp.sum(jnp.square(c_t), axis=0, keepdims=True)
+
+        @pl.when(m_idx == 0)
+        def _():
+            acc_o[:] = sq
+
+        @pl.when(m_idx != 0)
+        def _():
+            acc_o[:] += sq
+
+    @pl.when(t == n_pairs - 1)
+    def _():
+        out_ref[0] = acc_o[:]
+
+
+def _fused_impl(lu_bf, a_bf, interpret=False, tm=None, tk=None, tb=None):
+    l_dim, m_dim, _ = lu_bf.shape
+    b_dim = a_bf.shape[1]
+    tm, tk, tb = tm or _TM, tk or _TK, tb or _TB
+    nm, nk, nb = _cdiv(m_dim, tm), _cdiv(m_dim, tk), _cdiv(b_dim, tb)
+    assert tm == tk, "triangular skip assumes square (m, k) tiling"
+    m_tab, k_tab = _tri_pairs(nm, nk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, l_dim, len(m_tab)),
+        in_specs=[
+            pl.BlockSpec((1, tk, tm),
+                         lambda b, l, t, mt, kt: (l, kt[t], mt[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tb),
+                         lambda b, l, t, mt, kt: (kt[t], b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tb),
+                               lambda b, l, t, mt, kt: (l, 0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tm, tb), jnp.float32),
+                        pltpu.VMEM((1, tb), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, nm=nm, nk=nk, tm=tm, tk=tk,
+                          m_dim=m_dim, n_pairs=len(m_tab)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l_dim, 1, b_dim), jnp.float32),
+        interpret=interpret,
+    )(m_tab, k_tab, lu_bf, a_bf)
+    return out[:, 0, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def tri_sq_colsum_fused(lu, a, interpret=False, tm=None, tk=None, tb=None):
+    """Fused ``colsum((Luᵀa)²)`` — the c intermediate stays in VMEM.
+
+    Same value contract as ``ops.tri_blocked.tri_sq_colsum`` at bf16 MXU
+    precision (the production call sites run this contraction at default
+    precision). Gradient: the panel-blocked XLA backward of
+    ``tri_sq_colsum`` (tril-masked dlu; da live) — the fused forward is a
+    pure forward-bandwidth experiment. See docs/PERFORMANCE.md for the
+    measured verdict.
+    """
+    return _fused_impl(lu.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+                       interpret, tm, tk, tb)
+
+
+def _fused_fwd(lu, a, interpret, tm, tk, tb):
+    return tri_sq_colsum_fused(lu, a, interpret, tm, tk, tb), (lu, a)
+
+
+def _fused_bwd(interpret, tm, tk, tb, res, g):
+    from gpzoo_tpu.ops.tri_blocked import tri_sq_colsum
+
+    lu, a = res
+    _, vjp = jax.vjp(lambda l_, a_: tri_sq_colsum(l_, a_), lu, a)
+    return vjp(g)
+
+
+tri_sq_colsum_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -228,22 +228,39 @@ def make_batched_train_step(loss_fn, optimizer, num_points, batch_size,
     return step
 
 
-def make_scan_runner(step_fn, chunk_size, donate=False):
+def make_scan_runner(step_fn, chunk_size, donate=False, on_chunk=None):
     """Fuse ``chunk_size`` applications of a step into one compiled
     ``lax.scan`` program: ``runner(state, *args) → (state, losses[chunk])``.
 
     This is the TPU-throughput path: one dispatch and one host sync per
     chunk. ``step_fn`` must be the *unjitted* shape ``(state, *args) →
     (state, loss)`` (the functions returned by the factories above work —
-    nesting jit is harmless)."""
+    nesting jit is harmless).
+
+    ``on_chunk`` (optional): a host callback ``on_chunk(state, losses)``
+    invoked after each compiled chunk with the post-chunk state — the
+    periodic-snapshot hook replacing the reference's every-10-steps
+    posterior captures for training animations
+    (Slideseq_NSF_newest_version.ipynb cells 36-39); see
+    :class:`gpzoo_tpu.train.snapshot.PosteriorSnapshotter`. The callback
+    runs between device dispatches (one per chunk), so it does not
+    perturb the compiled step."""
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def runner(state, *args):
+    def jitted(state, *args):
         def body(carry, _):
             new_state, loss = step_fn(carry, *args)
             return new_state, loss
 
         return jax.lax.scan(body, state, None, length=chunk_size)
+
+    if on_chunk is None:
+        return jitted
+
+    def runner(state, *args):
+        state, losses = jitted(state, *args)
+        on_chunk(state, losses)
+        return state, losses
 
     return runner
 

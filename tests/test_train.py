@@ -302,3 +302,37 @@ def test_deep_gp_composition_trains(key):
         params, opt_state, k, loss = step_f(params, opt_state, k)
         first = first if first is not None else float(loss)
     assert np.isfinite(float(loss)) and float(loss) < first
+
+
+def test_posterior_snapshot_hook(key, nsf_data, tmp_path):
+    """The on_chunk snapshot hook (reference: per-10-step posterior
+    captures for training animations, Slideseq notebook cells 36-39):
+    one snapshot per chunk, finite percentile records, frames persisted."""
+    from gpzoo_tpu.train import PosteriorSnapshotter
+    from gpzoo_tpu.utils import MetricLogger
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    opt = optax.adam(5e-3)
+    state = TrainState.create(model, opt, key)
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=300, batch_size=64,
+        static_kwargs={"E": 1},
+    )
+    probe = X[:100]
+    logger = MetricLogger()
+    snap = PosteriorSnapshotter(probe, every=2, logger=logger)
+    runner = make_scan_runner(step, 5, on_chunk=snap)
+    for _ in range(4):
+        state, losses = runner(state, X, Y)
+    # every=2 over 4 chunks -> 2 snapshots, at steps 10 and 20
+    assert [s for s, _ in snap.history] == [10, 20]
+    assert snap.history[0][1].shape == (4, 100)
+    for rec in snap.records:
+        assert np.isfinite(rec["qf_mean_p50"])
+        assert np.isfinite(rec["qf_scale_p95"])
+    assert len(logger.history) == 2
+    out = snap.save(str(tmp_path / "frames.npz"))
+    data = np.load(out)
+    assert data["frames"].shape == (2, 4, 100)
+    assert list(data["steps"]) == [10, 20]
