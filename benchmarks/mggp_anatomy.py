@@ -89,7 +89,8 @@ def build(scale=1.0, seed=0):
 
 
 def measure_step(cfg, model, x, y_t, g, chunk=8, remat=True,
-                 grad_precision="highest", deviance=False):
+                 grad_precision="highest", proj_precision="highest",
+                 deviance=False):
     """Full train step via the production fast path (groups threaded)."""
     from gpzoo_tpu.train import (TrainState, freeze_loss,
                                  make_batched_train_step, make_scan_runner,
@@ -107,7 +108,8 @@ def measure_step(cfg, model, x, y_t, g, chunk=8, remat=True,
         static_kwargs={"E": cfg.E, "microbatch": cfg.batch_size,
                        "y_transposed": True, "factored": True,
                        "groups": g, "remat": remat,
-                       "grad_precision": grad_precision},
+                       "grad_precision": grad_precision,
+                       "proj_precision": proj_precision},
     )
     runner = make_scan_runner(step, chunk, donate=True)
     t0 = time.perf_counter()
@@ -289,6 +291,8 @@ def main(argv=None):
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--grad-precision", default="highest",
                    help="comma-separated list to A/B (highest,default)")
+    p.add_argument("--proj-precision", default="highest",
+                   help="comma-separated list to A/B (highest,high,default)")
     p.add_argument("--deviance", action="store_true")
     args = p.parse_args(argv)
 
@@ -298,16 +302,20 @@ def main(argv=None):
         f"remat={not args.no_remat} grad_precision={args.grad_precision}")
 
     if not args.components_only:
-        for gp_setting in (args.grad_precision.split(",")):
-            log(f"-- grad_precision={gp_setting} --")
-            # fresh buffers per leg: the scan runner donates the state,
-            # which shares the model's device arrays
-            model_leg = jax.tree_util.tree_map(
-                lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, model)
-            measure_step(cfg, model_leg, x, y_t, g, chunk=args.chunk,
-                         remat=not args.no_remat,
-                         grad_precision=gp_setting,
-                         deviance=args.deviance)
+        for gp_setting in args.grad_precision.split(","):
+            for pp_setting in args.proj_precision.split(","):
+                log(f"-- grad_precision={gp_setting} "
+                    f"proj_precision={pp_setting} --")
+                # fresh buffers per leg: the scan runner donates the
+                # state, which shares the model's device arrays
+                model_leg = jax.tree_util.tree_map(
+                    lambda a: jnp.copy(a) if hasattr(a, "dtype") else a,
+                    model)
+                measure_step(cfg, model_leg, x, y_t, g, chunk=args.chunk,
+                             remat=not args.no_remat,
+                             grad_precision=gp_setting,
+                             proj_precision=pp_setting,
+                             deviance=args.deviance)
         # the scan runner donates the state, deleting the model's buffers
         cfg, model, x, y_t, g = build(args.scale)
     if not args.steps_only:

@@ -304,6 +304,13 @@ def _cholesky_inverse_mm_fwd(k, bwd_precision):
 
 
 def _cholesky_inverse_mm_bwd(bwd_precision, res, cots):
+    # Dense einsums on purpose: panel-blocking these five products with
+    # the ops/tri_blocked helpers (≈0.58× FLOPs) was tried in round 3
+    # and pushed the full-scale MGGP step 90 MB over HBM — each
+    # panel-concat output holds its parts AND the concatenated result
+    # live, ~2× the (L, M, M) footprint per product (remote compile:
+    # "Used 15.83G of 15.75G hbm"). The ~20 ms FLOP saving is not worth
+    # the OOM; at bf16 bwd_precision the dense forms cost ~60 ms total.
     l, w = res
     dl, dw = cots
     m = l.shape[-1]

@@ -150,3 +150,49 @@ def tri_tri_matmul(w, lu, panels=None):
         parts.append(jnp.concatenate(
             [jnp.broadcast_to(blk, batch + blk.shape[-2:]), pad], axis=-1))
     return jnp.concatenate(parts, axis=-2)
+
+
+def tri_t_matmul_b(w, rhs, panels=None):
+    """``Wᵀ @ rhs`` for lower-triangular W, panel-blocked: output row
+    panel [s, e) only reads rhs rows k ≥ s (Wᵀ is upper-triangular).
+    Used by the combined Cholesky-inverse VJP (Wᵀ dW, Lᵀ L̄, Wᵀ Φ)."""
+    m_dim = w.shape[-1]
+    if panels is None:
+        panels = PANELS if m_dim >= MIN_DIM else 1
+    if panels <= 1:
+        return jnp.einsum("...ki,...kb->...ib", w, rhs)
+    parts = [
+        jnp.einsum("...ki,...kb->...ib", w[..., s:, s:e], rhs[..., s:, :])
+        for s, e in _bounds(m_dim, panels)
+    ]
+    return jnp.concatenate(parts, axis=-2)
+
+
+def matmul_tri(a, w, panels=None):
+    """``A @ W`` for lower-triangular W: output column panel [s, e) only
+    reads A columns l ≥ s."""
+    m_dim = w.shape[-1]
+    if panels is None:
+        panels = PANELS if m_dim >= MIN_DIM else 1
+    if panels <= 1:
+        return jnp.einsum("...il,...lj->...ij", a, w)
+    parts = [
+        jnp.einsum("...il,...lj->...ij", a[..., s:], w[..., s:, s:e])
+        for s, e in _bounds(m_dim, panels)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def matmul_tri_t(a, w, panels=None):
+    """``A @ Wᵀ`` for lower-triangular W: output column panel [s, e) only
+    reads A columns l < e (Wᵀ is upper-triangular)."""
+    m_dim = w.shape[-1]
+    if panels is None:
+        panels = PANELS if m_dim >= MIN_DIM else 1
+    if panels <= 1:
+        return jnp.einsum("...il,...jl->...ij", a, w)
+    parts = [
+        jnp.einsum("...il,...jl->...ij", a[..., :, :e], w[..., s:e, :e])
+        for s, e in _bounds(m_dim, panels)
+    ]
+    return jnp.concatenate(parts, axis=-1)

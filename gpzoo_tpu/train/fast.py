@@ -122,7 +122,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               factored=False, y_transposed=False,
                               shared_kernel=False, groups=None,
                               remat=True, stable_projection=None,
-                              grad_precision=None):
+                              grad_precision=None, proj_precision=None):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -154,6 +154,13 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     156 ms/step faster with the held-out deviance identical to 4 decimals
     (31.5419 vs 31.5420) and the loss trajectory tracking to 4.5e-4 over
     32 steps (docs/PERFORMANCE.md). Pass an explicit value to override.
+
+    ``proj_precision`` (static): matmul precision of the w_form chunk
+    projection a = W·Kzx, which feeds ONLY the posterior variance (the
+    mean uses the hoisted K⁻¹μ at HIGHEST). Auto (None): "high" for
+    jitter ≥ 1e-2, else "highest"; see docs/PERFORMANCE.md for the
+    measured A/B and the cancellation arithmetic that rules out
+    bf16-default here.
     """
     gp = getattr(model, "prior", None)
     if gp is None:
@@ -257,6 +264,10 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         with jax.default_matmul_precision("highest"):
             c_wlu = tri_tri_matmul(w_inv, lu_l)
             wmu = jnp.einsum("lij,lj->li", w_inv, mu_l)
+            # m_fac = K⁻¹μ = Wᵀ(Wμ): the chunk mean contracts this
+            # against Kzx at HIGHEST, decoupling the mean's precision
+            # from the variance-only a-matmul (proj_precision below).
+            m_fac_w = jnp.einsum("lij,li->lj", w_inv, wmu)
         trace = jnp.sum(jnp.square(c_wlu), axis=(-2, -1))
         maha = jnp.sum(jnp.square(wmu), axis=-1)
         kl = jnp.sum(
@@ -371,11 +382,23 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             # skipping W's structural zeros). Variance is the stable
             # norm-squared form colsum(a²) (O(κε)); the S-term reuses the
             # hoisted C = W·Lu as colsum((Cᵀa)²) — the ã = K⁻¹Kzx matmul
-            # of the K⁻¹ path never happens. Mean = (Wμ)ᵀa.
-            with jax.default_matmul_precision("highest"):
+            # of the K⁻¹ path never happens. The mean contracts the
+            # hoisted m_fac = K⁻¹μ against Kzx at HIGHEST regardless of
+            # ``proj_precision`` (mean errors feed exp(F) directly; the
+            # a-matmul feeds only the variance, where lower precision
+            # enters as a squared term).
+            # Auto: HIGH (3-pass bf16, rel err ~6e-5) for well-jittered
+            # configs — the subtrahend's cancellation amplifies the
+            # error ~20× into the posterior variance, so bf16-DEFAULT
+            # (rel err ~4e-3) is ruled out by arithmetic, while HIGH
+            # keeps it ~1e-3 and measured the held-out deviance
+            # identical (31.5419) at 100 ms/step less than HIGHEST.
+            pp = proj_precision or ("high" if gp.jitter >= 1e-2
+                                    else "highest")
+            with jax.default_matmul_precision(pp):
                 a = tri_matmul(w_inv, kzx)  # (L, M, mb)
-                mean = jnp.einsum("lm,lmb->lb", wmu, a,
-                                  precision=jax.lax.Precision.HIGHEST)
+            mean = jnp.einsum("lm,lmb->lb", m_fac_w, kzx,
+                              precision=jax.lax.Precision.HIGHEST)
             cov = kxx - jnp.sum(jnp.square(a), axis=-2)
             cov = cov + tri_sq_colsum(c_wlu, a)
             scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))

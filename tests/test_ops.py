@@ -220,6 +220,25 @@ def test_tri_blocked_matmuls_match_dense(rng):
         w @ lu, atol=1e-10)
 
 
+def test_tri_blocked_vjp_helpers_match_dense(rng):
+    from gpzoo_tpu.ops.tri_blocked import (matmul_tri, matmul_tri_t,
+                                           tri_t_matmul_b)
+
+    for batch in ((), (2,)):
+        w = np.tril(rng.standard_normal(batch + (257, 257)))
+        a = rng.standard_normal(batch + (257, 257))
+        wt = np.swapaxes(w, -1, -2)
+        np.testing.assert_allclose(
+            np.asarray(tri_t_matmul_b(jnp.asarray(w), jnp.asarray(a),
+                                      panels=4)), wt @ a, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(matmul_tri(jnp.asarray(a), jnp.asarray(w),
+                                  panels=4)), a @ w, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(matmul_tri_t(jnp.asarray(a), jnp.asarray(w),
+                                    panels=4)), a @ wt, atol=1e-10)
+
+
 def test_cholesky_blocked_matches_stock(rng):
     from gpzoo_tpu.ops.linalg import cholesky_blocked
 
