@@ -88,9 +88,9 @@ def build(scale=1.0, seed=0):
     return cfg, model, x, y_t, g
 
 
-def measure_step(cfg, model, x, y_t, g, chunk=8, remat=True,
-                 grad_precision="highest", proj_precision="highest",
-                 deviance=False):
+def measure_step(cfg, model, x, y_t, g, chunk=8,
+                 remat="save_proj", grad_precision="default",
+                 proj_precision="high", deviance=False):
     """Full train step via the production fast path (groups threaded)."""
     from gpzoo_tpu.train import (TrainState, freeze_loss,
                                  make_batched_train_step, make_scan_runner,
@@ -288,10 +288,11 @@ def main(argv=None):
     p.add_argument("--steps-only", action="store_true")
     p.add_argument("--components-only", action="store_true")
     p.add_argument("--chunk", type=int, default=8)
-    p.add_argument("--no-remat", action="store_true")
-    p.add_argument("--grad-precision", default="highest",
+    p.add_argument("--remat", default="save_proj",
+                   help='True | False | save_proj | save_proj_kzx')
+    p.add_argument("--grad-precision", default="default",
                    help="comma-separated list to A/B (highest,default)")
-    p.add_argument("--proj-precision", default="highest",
+    p.add_argument("--proj-precision", default="high",
                    help="comma-separated list to A/B (highest,high,default)")
     p.add_argument("--deviance", action="store_true")
     args = p.parse_args(argv)
@@ -299,7 +300,7 @@ def main(argv=None):
     cfg, model, x, y_t, g = build(args.scale)
     log(f"MGGP-NSF anatomy: N={cfg.N} D={cfg.D} L={cfg.L} M={cfg.M} "
         f"batch={cfg.batch_size} backend={jax.default_backend()} "
-        f"remat={not args.no_remat} grad_precision={args.grad_precision}")
+        f"remat={args.remat} grad_precision={args.grad_precision}")
 
     if not args.components_only:
         for gp_setting in args.grad_precision.split(","):
@@ -311,8 +312,10 @@ def main(argv=None):
                 model_leg = jax.tree_util.tree_map(
                     lambda a: jnp.copy(a) if hasattr(a, "dtype") else a,
                     model)
+                remat = {"True": True, "False": False}.get(
+                    args.remat, args.remat)
                 measure_step(cfg, model_leg, x, y_t, g, chunk=args.chunk,
-                             remat=not args.no_remat,
+                             remat=remat,
                              grad_precision=gp_setting,
                              proj_precision=pp_setting,
                              deviance=args.deviance)

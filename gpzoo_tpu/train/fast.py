@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import struct
 
 from gpzoo_tpu import dists
@@ -377,6 +378,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         gc = gc if groups is not None else None
         kxx = kernel.diag(xc, gc)  # (L, mb) / (mb,)
         kzx = kernel.gram(gp.Z, xc, groups_z, gc)  # (L, M, mb) / (M, mb)
+        kzx = checkpoint_name(kzx, "proj_kzx")
         if w_form:
             # ONE triangular matmul per chunk: a = W·Kzx (panel-blocked,
             # skipping W's structural zeros). Variance is the stable
@@ -397,6 +399,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                                     else "highest")
             with jax.default_matmul_precision(pp):
                 a = tri_matmul(w_inv, kzx)  # (L, M, mb)
+            # named for the selective-remat policy below: saving a (and
+            # the Kzx it came from) trades ~2 HBM-resident (L, M, mb)
+            # buffers for skipping the Gram + triangular-matmul recompute
+            # in the backward pass.
+            a = checkpoint_name(a, "proj_a")
             mean = jnp.einsum("lm,lmb->lb", m_fac_w, kzx,
                               precision=jax.lax.Precision.HIGHEST)
             cov = kxx - jnp.sum(jnp.square(a), axis=-2)
@@ -460,7 +467,22 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
               else py.log_prob(yc))
         return jnp.sum(jnp.mean(lp, axis=0))
 
-    chunk_fn = jax.checkpoint(chunk_ll) if remat else chunk_ll
+    # remat: True = recompute everything in the backward (lowest memory);
+    # "save_proj" keeps the named a = W·Kzx resident (+1 (L, M, mb)
+    # buffer, skips the triangular-matmul recompute); "save_proj_kzx"
+    # additionally keeps the Gram columns (+2 buffers, also skips the
+    # Gram recompute).
+    if remat in ("save_proj", "save_proj_kzx"):
+        names = (("proj_a",) if remat == "save_proj"
+                 else ("proj_a", "proj_kzx"))
+        chunk_fn = jax.checkpoint(
+            chunk_ll,
+            policy=jax.checkpoint_policies.save_only_these_names(*names),
+        )
+    elif remat:
+        chunk_fn = jax.checkpoint(chunk_ll)
+    else:
+        chunk_fn = chunk_ll
 
     def body(carry, inp):
         return carry + chunk_fn(*inp), None
