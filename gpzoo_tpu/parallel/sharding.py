@@ -145,14 +145,24 @@ def make_sharded_batched_train_step(loss_fn, optimizer, num_points,
     (e.g. from :func:`shard_factor_params`), pinned as the output sharding
     so tensor-parallel parameter layouts survive the optimizer update
     instead of depending on XLA's propagation choices.
+
+    ``axis_name`` may be a tuple of mesh axes — e.g.
+    ``("hosts", "data")`` on a :func:`hybrid_mesh` — to partition the
+    minibatch over their product: the outer (DCN) axis then carries real
+    cross-host data parallelism and XLA routes the gradient reduction
+    hierarchically (ICI within a host, DCN across).
     """
     static_kwargs = dict(static_kwargs or {})
-    if batch_size % mesh.shape[axis_name] != 0:
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    n_way = 1
+    for a in axes:
+        n_way *= mesh.shape[a]
+    if batch_size % n_way != 0:
         raise ValueError(
-            f"batch_size={batch_size} not divisible by mesh axis "
-            f"{axis_name}={mesh.shape[axis_name]}"
+            f"batch_size={batch_size} not divisible by mesh axes "
+            f"{axes}={n_way}"
         )
-    idx_sharding = NamedSharding(mesh, P(axis_name))
+    idx_sharding = NamedSharding(mesh, P(axes))
     jit_kwargs = {}
     if donate:
         jit_kwargs["donate_argnums"] = (0,)

@@ -73,9 +73,13 @@ lu = state.model.prior.Lu_raw
 assert not lu.sharding.is_fully_addressable  # true cross-process layout
 assert max(s.data.nbytes for s in lu.addressable_shards) * 2 <= lu.nbytes
 
+# Batch sharded over ("hosts", "data") — the outer axis is the real
+# cross-process (DCN) data-parallel dimension, so the gradient psum runs
+# hierarchically across the two OS processes.
 step = make_sharded_batched_train_step(
     nsf_negative_elbo_batched, opt, num_points=512, batch_size=64,
-    mesh=mesh, static_kwargs={"E": 1, "microbatch": 32, "factored": True},
+    mesh=mesh, axis_name=("hosts", "data"),
+    static_kwargs={"E": 1, "microbatch": 32, "factored": True},
     state_shardings=shardings,
 )
 X_sh, Y_sh = replicate(mesh, X), shard_columns(mesh, Y)
