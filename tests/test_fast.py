@@ -358,3 +358,46 @@ def test_small_jitter_projection_stability(rng):
     assert err_stable < 5e-5, (err_stable, err_fast)
     # and not be worse than the gated-off fast form
     assert err_stable <= err_fast * 2, (err_stable, err_fast)
+
+
+def test_wform_knobs_value_identical(key, rng):
+    """The w_form path's static knobs — remat modes (True / save_proj /
+    save_proj_kzx / False) and the grad/proj precision settings (no-ops
+    on CPU float64, but they trace distinct programs) — must all produce
+    the SAME loss value, and gradients must agree across remat modes."""
+    N, D, L, M, G = 200, 10, 2, 16, 3
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    groups = jnp.asarray(rng.integers(0, G, N))
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    kernel = gz.kernels.MGGPNSFRBF.create(
+        sigma=1.0, lengthscale=1.2, group_diff_param=0.7, n_groups=G, L=L
+    )
+    gp = gz.gps.MGGPSVGP.create(key, kernel, dim=2, M=M, jitter=1e-1,
+                                n_groups=G)
+    model = gz.models.MGGPNSF.create(key, gp, D=D, N=N, L=L)
+    idx = jax.random.choice(jax.random.PRNGKey(2), N, (48,), replace=False)
+
+    def loss(m, **kw):
+        return nsf_negative_elbo_batched(
+            m, x, y, idx, key, E=1, microbatch=16, factored=True,
+            groups=groups, **kw)
+
+    ref_v, ref_g = jax.value_and_grad(loss, allow_int=True)(model)
+    for kw in (
+        {"remat": "save_proj"},
+        {"remat": "save_proj_kzx"},
+        {"remat": False},
+        {"grad_precision": "default", "proj_precision": "high"},
+        {"grad_precision": "highest", "proj_precision": "highest"},
+    ):
+        v, g = jax.value_and_grad(
+            lambda m: loss(m, **kw), allow_int=True)(model)
+        assert float(v) == pytest.approx(float(ref_v), rel=1e-12), kw
+        jax.tree_util.tree_map(
+            # skip float0 grads of integer leaves (MGGP groupsZ)
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+            if np.asarray(b).dtype.kind == "f" else None,
+            g, ref_g,
+        )
