@@ -209,10 +209,27 @@ def _val_poisson_deviance(model, proj, y_t, vidx):
     return dev(model, proj, y_t, jnp.asarray(vidx, jnp.int32))
 
 
+def run_mggp_bench(chunk, chunks):
+    """Full-scale MGGP-NSF workload through the committed harness
+    (benchmarks/mggp_anatomy.py) — L=20, M=3010 (215×14 groups),
+    trainable per-factor kernels, batch 7000."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import mggp_anatomy as ma
+
+    cfg, model, x, y_t, g = ma.build(1.0)
+    return ma.measure_step(cfg, model, x, y_t, g, chunk=chunk,
+                           deviance=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="small shapes (CI / smoke)")
+    p.add_argument("--workload", choices=("nsf", "mggp"), default="nsf",
+                   help="'nsf' = the north-star Slideseq NSF bench; "
+                        "'mggp' = the full-scale MGGP-NSF workload "
+                        "(trainable per-factor kernels, W-form path)")
     p.add_argument("--steps-per-chunk", type=int, default=20)
     p.add_argument("--chunks", type=int, default=3)
     p.add_argument("--microbatch", type=int, default=None)
@@ -238,6 +255,17 @@ def main():
             os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
         import pallas_ab
         sys.exit(pallas_ab.main(["--no-time"] if args.quick else []))
+
+    if args.workload == "mggp":
+        value = run_mggp_bench(chunk=args.steps_per_chunk,
+                               chunks=args.chunks)
+        print(json.dumps({
+            "metric": "slideseq_mggp_nsf_steps_per_sec",
+            "value": round(value, 3),
+            "unit": "steps/s",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.quick:
         shapes = dict(N=2000, D=100, L=20, M=256, batch=512)

@@ -32,17 +32,21 @@ def latent_posterior(gp, x, groups=None, chunk_size=None, mesh=None):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from gpzoo_tpu.parallel import put_sharded
+
         if "data" not in mesh.axis_names:
             raise ValueError(f"mesh {mesh.axis_names} has no 'data' axis")
         n = x.shape[0]
         pad = (-n) % mesh.shape["data"]
-        x_p = jax.device_put(
+        # put_sharded (not raw device_put): safe under multi-process
+        # meshes with non-addressable devices.
+        x_p = put_sharded(
             jnp.pad(x, ((0, pad), (0, 0))),
             NamedSharding(mesh, PartitionSpec("data", None)))
-        g_p = (jax.device_put(jnp.pad(groups, (0, pad)),
-                              NamedSharding(mesh, PartitionSpec("data")))
+        g_p = (put_sharded(jnp.pad(groups, (0, pad)),
+                           NamedSharding(mesh, PartitionSpec("data")))
                if groups is not None else None)
-        gp_r = jax.device_put(gp, NamedSharding(mesh, PartitionSpec()))
+        gp_r = put_sharded(gp, NamedSharding(mesh, PartitionSpec()))
         # GSPMD propagates the spot-axis sharding through the forward;
         # per-device memory is the full working set / n_devices, so the
         # host-side chunking is unnecessary here.

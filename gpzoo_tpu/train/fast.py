@@ -262,8 +262,15 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         mu_l = jnp.broadcast_to(
             jnp.atleast_2d(jnp.asarray(gp.mu)),
             lzz.shape[:1] + jnp.asarray(gp.mu).shape[-1:])
-        with jax.default_matmul_precision("highest"):
+        # C feeds the KL trace (where HIGH's ~6e-5 relative error is
+        # ~1e-4 of a trace-scale term — absolute noise on a 1e8 loss)
+        # and the chunk variance term; the mean path (wmu, m_fac) stays
+        # HIGHEST like the projection's mean contraction.
+        pp_c = proj_precision or ("high" if gp.jitter >= 1e-2
+                                  else "highest")
+        with jax.default_matmul_precision(pp_c):
             c_wlu = tri_tri_matmul(w_inv, lu_l)
+        with jax.default_matmul_precision("highest"):
             wmu = jnp.einsum("lij,lj->li", w_inv, mu_l)
             # m_fac = K⁻¹μ = Wᵀ(Wμ): the chunk mean contracts this
             # against Kzx at HIGHEST, decoupling the mean's precision

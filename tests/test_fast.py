@@ -203,6 +203,15 @@ def test_bench_configuration_matches_generic(key):
                 microbatch=8, y_transposed=True, factored=True,
                 shared_kernel=True, remat=False)
     assert float(fast) == pytest.approx(float(ref), rel=1e-9)
+    # the stable_projection override (advisor round 2) selects between
+    # the one-matmul and two-sided shared-kernel projections — both are
+    # the same math, float64-identical to the generic path
+    for stable in (True, False):
+        v = loss(model, x, jnp.swapaxes(y, 0, 1), idx, key, E=1,
+                 microbatch=8, y_transposed=True, factored=True,
+                 shared_kernel=True, remat=False,
+                 stable_projection=stable)
+        assert float(v) == pytest.approx(float(ref), rel=1e-9), stable
 
 
 def test_vnngp_fast_loss_matches_generic(key, rng):
