@@ -172,3 +172,52 @@ def restore_checkpoint(path, template, shardings=None):
     if shardings is not None:
         state = _place(state, shardings)
     return state
+
+
+class CheckpointHook:
+    """Periodic checkpointing for ``make_scan_runner(on_chunk=)``.
+
+    Writes ``<path>.step<N>`` every ``every``-th chunk (atomic per file),
+    keeps the newest ``keep`` checkpoints, and always refreshes
+    ``<path>.latest`` — the resume entry point after a crash:
+
+        hook = CheckpointHook("/ckpts/run", every=10)
+        runner = make_scan_runner(step, 10, on_chunk=hook)
+        ...
+        state = restore_checkpoint(hook.latest_path, template)
+
+    Together with the bit-deterministic resume contract (module
+    docstring), a killed run restarted from ``.latest`` continues the
+    exact loss trajectory. Works with sharded TrainStates like
+    :func:`save_checkpoint` does.
+    """
+
+    def __init__(self, path, every=1, keep=2):
+        self.path = path
+        self.every = int(every)
+        self.keep = int(keep)
+        self.saved = []  # step-tagged paths, oldest first
+        self._chunks = 0
+
+    @property
+    def latest_path(self):
+        return f"{self.path}.latest"
+
+    def __call__(self, state, losses):
+        self._chunks += 1
+        if self._chunks % self.every:
+            return
+        step = int(jax.device_get(state.step))
+        tagged = f"{self.path}.step{step}"
+        save_checkpoint(tagged, state)
+        save_checkpoint(self.latest_path, state)
+        self.saved.append(tagged)
+        while len(self.saved) > self.keep:
+            old = self.saved.pop(0)
+            # only process 0 owns single-file checkpoints; shard files
+            # are per-process
+            for f in glob.glob(glob.escape(old) + "*"):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

@@ -336,3 +336,36 @@ def test_posterior_snapshot_hook(key, nsf_data, tmp_path):
     data = np.load(out)
     assert data["frames"].shape == (2, 4, 100)
     assert list(data["steps"]) == [10, 20]
+
+
+def test_checkpoint_hook_rotates_and_resumes(key, nsf_data, tmp_path):
+    """CheckpointHook: periodic saves via the on_chunk slot, rotation to
+    `keep` files, and a `.latest` that resumes bit-identically."""
+    from gpzoo_tpu.train.checkpoint import CheckpointHook
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    opt = optax.adam(5e-3)
+    state = TrainState.create(model, opt, key)
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=300, batch_size=64,
+        static_kwargs={"E": 1},
+    )
+    hook = CheckpointHook(str(tmp_path / "run"), every=1, keep=2)
+    runner = make_scan_runner(step, 5, on_chunk=hook)
+    for _ in range(4):
+        state, losses = runner(state, X, Y)
+    import glob as _glob
+
+    tagged = sorted(_glob.glob(str(tmp_path / "run.step*")))
+    assert len(tagged) == 2  # rotated down to keep=2
+    assert str(tmp_path / "run.step15") in tagged
+    assert str(tmp_path / "run.step20") in tagged
+
+    template = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, a.dtype), jax.eval_shape(lambda: state)
+    )
+    restored = restore_checkpoint(hook.latest_path, template)
+    s_live, l_live = runner(state, X, Y)
+    s_res, l_res = runner(restored, X, Y)
+    np.testing.assert_array_equal(np.asarray(l_live), np.asarray(l_res))
