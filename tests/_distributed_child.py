@@ -108,5 +108,35 @@ state2, l_live = step(state, X_sh, Y_sh)
 _, l_restored = step(restored, X_sh, Y_sh)
 ckpt_ok = float(l_live) == float(l_restored)
 
-print(json.dumps({"proc": proc_id, "losses": losses, "ckpt_ok": ckpt_ok}),
+# Group-aware (MGGP) fast loss across the two processes -------------------
+mggp_rng = np.random.default_rng(5)
+m_coords = mggp_rng.uniform(-2, 2, size=(256, 2))
+m_counts = mggp_rng.poisson(2.0, size=(8, 256)).astype(np.float64)
+m_groups = mggp_rng.integers(0, 3, size=256)
+m_cfg = gz.MGGPNSFConfig(D=8, N=256, L=2, M_per_group=6, n_groups=3,
+                         batch_size=32)
+m_model = m_cfg.build(jax.random.PRNGKey(21), X=m_coords, groups=m_groups)
+m_model = m_model.replace(gp=m_model.gp.replace(
+    mu=0.1 * jax.random.normal(jax.random.PRNGKey(22), (2, m_cfg.M)),
+    Lu_raw=lower_cholesky_inverse(
+        jnp.broadcast_to(jnp.eye(m_cfg.M), (2, m_cfg.M, m_cfg.M))),
+))
+mX = replicate(mesh, jnp.asarray(m_coords))
+mY = shard_columns(mesh, jnp.asarray(m_counts))
+mg = replicate(mesh, jnp.asarray(m_groups, jnp.int32))
+m_step = make_sharded_batched_train_step(
+    nsf_negative_elbo_batched, optax.adam(1e-3), num_points=256,
+    batch_size=32, mesh=mesh, axis_name=("hosts", "data"),
+    static_kwargs={"E": 1, "microbatch": 16, "factored": True,
+                   "groups": mg},
+)
+m_state = replicate(mesh, TrainState.create(m_model, optax.adam(1e-3),
+                                            jax.random.PRNGKey(23)))
+mggp_losses = []
+for _ in range(2):
+    m_state, m_loss = m_step(m_state, mX, mY)
+    mggp_losses.append(float(m_loss))
+
+print(json.dumps({"proc": proc_id, "losses": losses, "ckpt_ok": ckpt_ok,
+                  "mggp_losses": mggp_losses}),
       flush=True)

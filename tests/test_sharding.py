@@ -396,6 +396,37 @@ def test_two_process_distributed(tmp_path):
         state, loss = step(state, X, Y)
         ref_losses.append(float(loss))
 
+    # group-aware (MGGP) reference, mirrored by the child
+    from gpzoo_tpu.bijectors import lower_cholesky_inverse
+
+    mggp_rng = np.random.default_rng(5)
+    m_coords = mggp_rng.uniform(-2, 2, size=(256, 2))
+    m_counts = mggp_rng.poisson(2.0, size=(8, 256)).astype(np.float64)
+    m_groups = mggp_rng.integers(0, 3, size=256)
+    m_cfg = gz.MGGPNSFConfig(D=8, N=256, L=2, M_per_group=6, n_groups=3,
+                             batch_size=32)
+    m_model = m_cfg.build(jax.random.PRNGKey(21), X=m_coords,
+                          groups=m_groups)
+    m_model = m_model.replace(gp=m_model.gp.replace(
+        mu=0.1 * jax.random.normal(jax.random.PRNGKey(22), (2, m_cfg.M)),
+        Lu_raw=lower_cholesky_inverse(
+            jnp.broadcast_to(jnp.eye(m_cfg.M),
+                             (2, m_cfg.M, m_cfg.M))),
+    ))
+    m_step = make_batched_train_step(
+        nsf_negative_elbo_batched, optax.adam(1e-3), num_points=256,
+        batch_size=32,
+        static_kwargs={"E": 1, "microbatch": 16, "factored": True,
+                       "groups": jnp.asarray(m_groups, jnp.int32)},
+    )
+    m_state = TrainState.create(m_model, optax.adam(1e-3),
+                                jax.random.PRNGKey(23))
+    ref_mggp = []
+    for _ in range(2):
+        m_state, m_loss = m_step(m_state, jnp.asarray(m_coords),
+                                 jnp.asarray(m_counts))
+        ref_mggp.append(float(m_loss))
+
     # --- two coordinated child processes ---------------------------------
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -424,6 +455,10 @@ def test_two_process_distributed(tmp_path):
         for got, want in zip(rec["losses"], ref_losses):
             assert got == pytest.approx(want, rel=1e-9), (
                 rec, ref_losses
+            )
+        for got, want in zip(rec["mggp_losses"], ref_mggp):
+            assert got == pytest.approx(want, rel=1e-9), (
+                rec, ref_mggp
             )
     # both checkpoint shard files exist (the multi-process layout)
     assert os.path.exists(str(tmp_path / "dist_ckpt.shard0"))
