@@ -143,13 +143,11 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
         # save the live TrainState (~2.9 GB at full scale), run one more
         # chunk, restore, re-run the same chunk — the deterministic-resume
         # contract (train/checkpoint.py) demands bit-identical losses.
-        from gpzoo_tpu.train.checkpoint import (restore_checkpoint,
+        from gpzoo_tpu.train.checkpoint import (make_restore_template,
+                                                restore_checkpoint,
                                                 save_checkpoint)
 
-        template = jax.tree_util.tree_map(
-            lambda a: np.zeros(a.shape, a.dtype),
-            jax.eval_shape(lambda: state),
-        )
+        template = make_restore_template(state)
         t0 = time.perf_counter()
         save_checkpoint(checkpoint, state)
         sz = os.path.getsize(checkpoint) / 1e9
@@ -190,6 +188,7 @@ def _val_poisson_deviance(model, proj, y_t, vidx):
     import jax
     import jax.numpy as jnp
     from gpzoo_tpu.bijectors import softplus
+    from gpzoo_tpu.data.metrics import poisson_deviance
 
     @jax.jit
     def dev(model, proj, y_t, vidx):
@@ -200,33 +199,32 @@ def _val_poisson_deviance(model, proj, y_t, vidx):
         rate = softplus(model.V_raw[vidx]) * (
             softplus(model.W_raw) @ jnp.exp(fmean)
         )
-        yv = y_t[vidx].T  # (D, B)
-        dev = 2.0 * (jnp.where(yv > 0,
-                               yv * jnp.log(jnp.clip(yv, min=1e-12) / rate),
-                               0.0) - (yv - rate))
-        return jnp.mean(dev)
+        return poisson_deviance(y_t[vidx].T, rate)  # (D, B) counts
 
     return dev(model, proj, y_t, jnp.asarray(vidx, jnp.int32))
 
 
-def run_mggp_bench(chunk, chunks):
+def run_mggp_bench(chunk, chunks, quick=False):
     """Full-scale MGGP-NSF workload through the committed harness
     (benchmarks/mggp_anatomy.py) — L=20, M=3010 (215×14 groups),
-    trainable per-factor kernels, batch 7000."""
+    trainable per-factor kernels, batch 7000. ``quick`` shrinks every
+    shape 10× (CI / smoke, same code path)."""
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     import mggp_anatomy as ma
 
-    cfg, model, x, y_t, g = ma.build(1.0)
+    cfg, model, x, y_t, g = ma.build(0.1 if quick else 1.0)
     return ma.measure_step(cfg, model, x, y_t, g, chunk=chunk,
-                           deviance=True)
+                           chunks=chunks, deviance=True)
 
 
-def run_vnngp_bench(chunk, chunks):
+def run_vnngp_bench(chunk, chunks, quick=False):
     """VNNGP at the SURVEY §5 scale target: N=100k spots, D=500, L=10,
     M=1000 inducing points, K=8 neighbors, minibatch 5000 — the
     committed reproduction of the 100k-spot training rate and the
-    full-100k posterior forward (Pallas SoA conditioning on TPU)."""
+    full-100k posterior forward (Pallas SoA conditioning on TPU).
+    ``quick`` shrinks to N=10k / D=50 / M=250 / batch 1000 (CI /
+    smoke, same code path)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -236,7 +234,10 @@ def run_vnngp_bench(chunk, chunks):
                                  make_scan_runner)
     from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
 
-    N, D, L, M, K, batch = 100_000, 500, 10, 1000, 8, 5000
+    if quick:
+        N, D, L, M, K, batch = 10_000, 50, 10, 250, 8, 1000
+    else:
+        N, D, L, M, K, batch = 100_000, 500, 10, 1000, 8, 5000
     rng = np.random.default_rng(0)
     coords = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
     counts_t = rng.poisson(2.0, size=(N, D)).astype(np.float32)
@@ -324,11 +325,17 @@ def main():
         import pallas_ab
         sys.exit(pallas_ab.main(["--no-time"] if args.quick else []))
 
+    if args.checkpoint and args.workload != "nsf":
+        p.error("--checkpoint is only supported for --workload nsf "
+                "(the north-star-scale resume contract)")
+
     if args.workload == "mggp":
         value = run_mggp_bench(chunk=args.steps_per_chunk,
-                               chunks=args.chunks)
+                               chunks=args.chunks, quick=args.quick)
         print(json.dumps({
-            "metric": "slideseq_mggp_nsf_steps_per_sec",
+            "metric": ("slideseq_mggp_nsf_quick_steps_per_sec"
+                       if args.quick else
+                       "slideseq_mggp_nsf_steps_per_sec"),
             "value": round(value, 3),
             "unit": "steps/s",
             "vs_baseline": None,
@@ -337,9 +344,11 @@ def main():
 
     if args.workload == "vnngp":
         value, post_s = run_vnngp_bench(chunk=args.steps_per_chunk,
-                                        chunks=args.chunks)
+                                        chunks=args.chunks,
+                                        quick=args.quick)
         print(json.dumps({
-            "metric": "vnngp_100k_steps_per_sec",
+            "metric": ("vnngp_10k_quick_steps_per_sec" if args.quick
+                       else "vnngp_100k_steps_per_sec"),
             "value": round(value, 3),
             "unit": "steps/s",
             "vs_baseline": None,

@@ -88,7 +88,7 @@ def build(scale=1.0, seed=0):
     return cfg, model, x, y_t, g
 
 
-def measure_step(cfg, model, x, y_t, g, chunk=8,
+def measure_step(cfg, model, x, y_t, g, chunk=8, chunks=3,
                  remat="save_proj", grad_precision="default",
                  proj_precision="high", deviance=False):
     """Full train step via the production fast path (groups threaded)."""
@@ -119,7 +119,7 @@ def measure_step(cfg, model, x, y_t, g, chunk=8,
         f"loss[0]={float(losses[0]):.6e} loss[-1]={float(losses[-1]):.6e}")
     assert np.all(np.isfinite(np.asarray(losses)))
     times = []
-    for c in range(3):
+    for c in range(chunks):
         t0 = time.perf_counter()
         state, losses = runner(state, x, y_t)
         _fetch(losses)
@@ -142,6 +142,7 @@ def _val_deviance(model, x, y_t, g, lo, hi):
     import jax
     import jax.numpy as jnp
     from gpzoo_tpu.bijectors import softplus
+    from gpzoo_tpu.data.metrics import poisson_deviance
     from gpzoo_tpu.predict import latent_posterior
 
     @jax.jit
@@ -152,11 +153,7 @@ def _val_deviance(model, x, y_t, g, lo, hi):
         rate = softplus(model.V_raw[vidx]) * (
             softplus(model.W_raw) @ jnp.exp(mean)
         )
-        yv = yv_t.T
-        d = 2.0 * (jnp.where(yv > 0,
-                             yv * jnp.log(jnp.clip(yv, min=1e-12) / rate),
-                             0.0) - (yv - rate))
-        return jnp.mean(d)
+        return poisson_deviance(yv_t.T, rate)
 
     vidx = jnp.arange(lo, hi)
     return float(dev(model, x[lo:hi], y_t[lo:hi], g[lo:hi], vidx))
@@ -287,7 +284,10 @@ def main(argv=None):
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--steps-only", action="store_true")
     p.add_argument("--components-only", action="store_true")
-    p.add_argument("--chunk", type=int, default=8)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="steps per scan-fused timing chunk")
+    p.add_argument("--chunks", type=int, default=3,
+                   help="timing chunks (min over chunks is reported)")
     p.add_argument("--remat", default="save_proj",
                    help='True | False | save_proj | save_proj_kzx')
     p.add_argument("--grad-precision", default="default",
@@ -315,13 +315,15 @@ def main(argv=None):
                 remat = {"True": True, "False": False}.get(
                     args.remat, args.remat)
                 measure_step(cfg, model_leg, x, y_t, g, chunk=args.chunk,
-                             remat=remat,
+                             chunks=args.chunks, remat=remat,
                              grad_precision=gp_setting,
                              proj_precision=pp_setting,
                              deviance=args.deviance)
-        # the scan runner donates the state, deleting the model's buffers
-        cfg, model, x, y_t, g = build(args.scale)
     if not args.steps_only:
+        if not args.components_only:
+            # the scan runner donated the state (the model's buffers are
+            # gone) — rebuild for the component table only when it runs
+            cfg, model, x, y_t, g = build(args.scale)
         measure_components(cfg, model, x, y_t, g)
     return 0
 

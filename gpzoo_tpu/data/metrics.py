@@ -14,6 +14,23 @@ from __future__ import annotations
 import numpy as np
 
 
+def poisson_deviance(y, rate):
+    """Mean per-entry Poisson deviance ``2[y log(y/μ) − (y − μ)]`` of
+    counts ``y`` under a plug-in rate ``μ``.
+
+    The held-out quality guard shared by ``bench.py`` and
+    ``benchmarks/mggp_anatomy.py`` (one definition so "fast-but-wrong"
+    means the same thing across workloads). jax-traceable; also accepts
+    numpy arrays.
+    """
+    import jax.numpy as jnp
+
+    d = 2.0 * (jnp.where(y > 0,
+                         y * jnp.log(jnp.clip(y, min=1e-12) / rate),
+                         0.0) - (y - rate))
+    return jnp.mean(d)
+
+
 def _knn_weights(coords, n_neighs=6):
     """Row-normalized symmetrized KNN adjacency (squidpy-style weights)."""
     coords = np.asarray(coords)

@@ -101,8 +101,15 @@ def save_checkpoint(path, state):
 def _load_multiprocess(path, template):
     """Reassemble a multi-process checkpoint (``<path>.shard*``) into host
     numpy arrays shaped like ``template``'s leaves."""
-    files = sorted(glob.glob(glob.escape(path) + ".shard*"),
-                   key=lambda p: int(re.search(r"shard(\d+)$", p).group(1)))
+    # Match only completed shard files: a crash mid-save can leave a
+    # stale ``.shard<p>.tmp`` beside the good previous files, and the
+    # ``.shard*`` glob picks it up — filter to exact ``.shard<digits>``.
+    indexed = []
+    for p in glob.glob(glob.escape(path) + ".shard*"):
+        m = re.search(r"\.shard(\d+)$", p)
+        if m:
+            indexed.append((int(m.group(1)), p))
+    files = [p for _, p in sorted(indexed)]
     if not files:
         raise FileNotFoundError(f"no checkpoint at {path}(.shard*)")
     flat, treedef = jax.tree_util.tree_flatten(template)
@@ -152,6 +159,38 @@ def _place(state, shardings):
         lambda sh, leaf: put(leaf, sh), shardings, state,
         is_leaf=lambda x: x is None,
     )
+
+
+def make_restore_template(state):
+    """Host zeros pytree shaped like ``state`` — the ``template`` argument
+    :func:`restore_checkpoint` expects. Never touches device memory
+    (``jax.eval_shape``), so it works even when ``state``'s buffers have
+    been donated away or live on another process's devices."""
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, a.dtype),
+        jax.eval_shape(lambda: state),
+    )
+
+
+def _clone_checkpoint(src, dst):
+    """Duplicate an on-disk checkpoint under a second name without
+    re-serializing (atomic per file; handles both the single-file and the
+    per-process ``.shard<p>`` layouts — each process copies only the
+    shard file it wrote)."""
+    import shutil
+
+    def copy(s, d):
+        tmp = d + ".tmp"
+        shutil.copyfile(s, tmp)
+        os.replace(tmp, d)
+
+    if os.path.exists(src):
+        copy(src, dst)
+        return
+    p = jax.process_index()
+    shard = f"{src}.shard{p}"
+    if os.path.exists(shard):
+        copy(shard, f"{dst}.shard{p}")
 
 
 def restore_checkpoint(path, template, shardings=None):
@@ -210,14 +249,23 @@ class CheckpointHook:
         step = int(jax.device_get(state.step))
         tagged = f"{self.path}.step{step}"
         save_checkpoint(tagged, state)
-        save_checkpoint(self.latest_path, state)
+        # Refresh .latest by copying the bytes just written — a second
+        # save_checkpoint would device_get + serialize the full state
+        # again (~2× the stall at the 2.16 GB production size).
+        _clone_checkpoint(tagged, self.latest_path)
         self.saved.append(tagged)
         while len(self.saved) > self.keep:
             old = self.saved.pop(0)
-            # only process 0 owns single-file checkpoints; shard files
-            # are per-process
+            # Remove exactly this checkpoint's files: the single file,
+            # its per-process shard files, and any stale .tmp — but NOT
+            # other steps sharing the prefix ('run.step5' must not glob
+            # away 'run.step50').
+            pat = re.compile(
+                re.escape(old) + r"(\.shard\d+)?(\.tmp)?$"
+            )
             for f in glob.glob(glob.escape(old) + "*"):
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+                if pat.fullmatch(f):
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass

@@ -174,11 +174,18 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     nc = b // microbatch
 
     kernel = gp.kernel
+    collapsed_L = None
     if shared_kernel:
         # All L factors share one (σ, ℓ) — the north-star configuration
         # (equal frozen hyperparameters, notebook cells 20+25). The Gram,
         # Cholesky, and per-chunk solve collapse to a single shared copy;
-        # only the Lu/mu-dependent terms stay L-batched.
+        # only the Lu/mu-dependent terms stay L-batched. Record the
+        # collapsed factor count: the L factors remain distinct latent
+        # functions, so the reparameterization draw (and, with shared
+        # mu/Lu, the KL copy count) must keep the L axis exactly like the
+        # generic path and the precomputed path do.
+        sig = jnp.asarray(kernel.sigma)
+        collapsed_L = int(sig.size) if sig.size > 1 else None
         kernel = _collapse_shared_kernel(kernel)
     # Cholesky/solve inputs are precision-critical: a bf16-matmul blocked
     # Cholesky of a jittered Gram visibly corrupts K⁻¹μ through the
@@ -292,6 +299,19 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         kl = jnp.sum(dists.kl_divergence(qu, pu))
         # S = Lu Luᵀ is only consumed by the non-factored chunk path.
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
+    if collapsed_L is not None and not whitened:
+        # The generic path broadcasts qU against the L-batched prior
+        # (pU scale = the pre-collapse (L, M, M) Lzz), so with shared
+        # mu/Lu it sums collapsed_L identical KL copies; the collapsed
+        # branches above computed only broadcast(mu, Lu) copies. Same
+        # correction as nsf_negative_elbo_precomputed. (The whitened KL
+        # never sees the kernel — no correction, matching the generic
+        # whitened_kl.)
+        kl_copies = 1
+        for d in jnp.broadcast_shapes(jnp.shape(gp.mu)[:-1],
+                                      jnp.shape(lu)[:-2]):
+            kl_copies *= int(d)
+        kl = kl * (collapsed_L // kl_copies)
 
     # Per-step factored precomputations (see docstring). Every per-chunk
     # projection is a matmul (no triangular solves anywhere):
@@ -339,6 +359,12 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     kxx_probe = kernel.diag(x[:1])  # shape probe: is the kernel L-batched?
     kxx_batch = (kxx_probe.shape[0],) if kxx_probe.ndim == 2 else ()
     qf_batch = jnp.broadcast_shapes(kxx_batch, jnp.shape(mu)[:-1])
+    if collapsed_L is not None:
+        # shared_kernel removed the kernel's factor axis, but the L
+        # factors are distinct latent functions — the draw stays
+        # (E, L, b)-independent, matching the generic path's
+        # Normal.sample over the (L, B) marginal.
+        qf_batch = jnp.broadcast_shapes(qf_batch, (collapsed_L,))
     eps_shape = (E,) + qf_batch + (b,)
     # dtype must match Normal.sample's (result_type of the marginal loc)
     # for the draws to be bit-identical to the generic path.
@@ -426,6 +452,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                     a = jnp.einsum(
                         "ij,...jb->...ib" if w_inv.ndim == 2 else
                         "lij,ljb->lib", w_inv, kzx)
+                a = checkpoint_name(a, "proj_a")
                 cov = kxx - jnp.sum(jnp.square(a), axis=-2)
                 if whitened:
                     cov = jnp.clip(cov, min=0.0)
@@ -435,12 +462,14 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                         a = jnp.einsum(
                             "ji,...jb->...ib" if w_inv.ndim == 2 else
                             "lji,ljb->lib", w_inv, a)
+                    a = checkpoint_name(a, "proj_a")
             else:
                 # big-jitter configs: one K⁻¹ matmul (measured-safe here)
                 with jax.default_matmul_precision("highest"):
                     a = jnp.einsum(
                         "ij,...jb->...ib" if k_inv.ndim == 2 else
                         "lij,ljb->lib", k_inv, kzx)
+                a = checkpoint_name(a, "proj_a")
                 cov = kxx - jnp.sum(kzx * a, axis=-2)
             # c_fac = Lu is exactly lower-triangular (bijector output) —
             # the panel-blocked contraction skips the strictly-upper
@@ -475,10 +504,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         return jnp.sum(jnp.mean(lp, axis=0))
 
     # remat: True = recompute everything in the backward (lowest memory);
-    # "save_proj" keeps the named a = W·Kzx resident (+1 (L, M, mb)
-    # buffer, skips the triangular-matmul recompute); "save_proj_kzx"
-    # additionally keeps the Gram columns (+2 buffers, also skips the
-    # Gram recompute).
+    # "save_proj" keeps the named projection product resident (+1
+    # (L, M, mb) buffer, skips the big-matmul recompute) — a = W·Kzx on
+    # the w_form path, a/ã on every other factored branch (all tagged
+    # "proj_a"); "save_proj_kzx" additionally keeps the Gram columns
+    # (+2 buffers, also skips the Gram recompute).
     if remat in ("save_proj", "save_proj_kzx"):
         names = (("proj_a",) if remat == "save_proj"
                  else ("proj_a", "proj_kzx"))

@@ -45,7 +45,8 @@ from gpzoo_tpu.parallel import (hybrid_mesh, put_sharded, replicate,  # noqa: E4
                                 shard_columns, shard_factor_params,
                                 make_sharded_batched_train_step)
 from gpzoo_tpu.train import TrainState  # noqa: E402
-from gpzoo_tpu.train.checkpoint import (restore_checkpoint,  # noqa: E402
+from gpzoo_tpu.train.checkpoint import (make_restore_template,  # noqa: E402
+                                        restore_checkpoint,
                                         save_checkpoint)
 from gpzoo_tpu.train.fast import nsf_negative_elbo_batched  # noqa: E402
 
@@ -93,9 +94,7 @@ for _ in range(3):
 ckpt = os.path.join(workdir, "dist_ckpt")
 save_checkpoint(ckpt, state)
 assert os.path.exists(f"{ckpt}.shard{proc_id}")
-template = jax.tree_util.tree_map(
-    lambda a: np.zeros(a.shape, a.dtype), jax.eval_shape(lambda: state)
-)
+template = make_restore_template(state)
 restored = restore_checkpoint(ckpt, template, shardings=shardings)
 r_lu = restored.model.prior.Lu_raw
 assert r_lu.sharding.is_equivalent_to(lu.sharding, r_lu.ndim)

@@ -158,6 +158,36 @@ def test_shared_kernel_matches(key):
                                rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.parametrize("whitened", [False, True])
+@pytest.mark.parametrize("E", [1, 3])
+def test_shared_kernel_shared_mu_degenerate(key, whitened, E):
+    """shared_kernel=True on a model whose mu/Lu are ALSO shared (the
+    NSFConfig default: (M,)/(M,M) broadcast against an L-vector kernel).
+    Regression: the collapsed path used to crash at E>1 (eps lost the
+    factor axis) and at E=1 silently drew one shared noise vector and
+    counted the unwhitened KL once instead of L times."""
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=200, D=10, L=4)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    kernel = gz.kernels.NSFRBF.create(L=4, sigma=1.2, lengthscale=0.8)
+    cls = gz.gps.WSVGP if whitened else gz.gps.SVGP
+    gp = cls.create(jax.random.PRNGKey(0), kernel, dim=2, M=16, jitter=1e-1)
+    assert gp.mu.ndim == 1  # the degenerate shared-mu layout
+    model = gz.models.NSF.create(jax.random.PRNGKey(1), gp, D=10, N=200, L=4)
+    idx = jnp.arange(128)
+
+    for factored in (False, True):
+        a = nsf_negative_elbo_batched(model, x, y, idx, key, E=E,
+                                      microbatch=64, factored=factored)
+        b = nsf_negative_elbo_batched(model, x, y, idx, key, E=E,
+                                      microbatch=64, factored=factored,
+                                      shared_kernel=True)
+        assert float(b) == pytest.approx(float(a), rel=1e-12), factored
+    # generic-path cross-check (different MC draw order → loose rel)
+    ref = negative_elbo_batched(model, x, y, idx, key, E=E)
+    assert float(b) == pytest.approx(float(ref), rel=1e-5)
+
+
 def test_mggp_fast_path_matches_generic(key, rng):
     """Fast path with group labels == generic MGGP-NSF minibatch ELBO."""
     N, D, L, M, G = 200, 10, 2, 16, 3

@@ -294,7 +294,9 @@ def test_checkpoint_roundtrip_factor_sharded(setup, tmp_path):
     1e-9 AND the restored layout actually partitioned on the mesh
     (round-2 verdict item 3 — the restored state must not come back
     replicated)."""
-    from gpzoo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from gpzoo_tpu.train.checkpoint import (make_restore_template,
+                                            restore_checkpoint,
+                                            save_checkpoint)
     from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
 
     X, Y, key, model = setup
@@ -316,9 +318,7 @@ def test_checkpoint_roundtrip_factor_sharded(setup, tmp_path):
     path = str(tmp_path / "ckpt.msgpack")
     save_checkpoint(path, state)
 
-    template = jax.tree_util.tree_map(
-        lambda a: np.zeros(a.shape, a.dtype), jax.eval_shape(lambda: state)
-    )
+    template = make_restore_template(state)
     restored = restore_checkpoint(path, template, shardings=shardings)
 
     # restored layout is the sharded one, not replicated
@@ -343,16 +343,16 @@ def test_checkpoint_roundtrip_factor_sharded(setup, tmp_path):
 
 def test_checkpoint_restore_without_shardings_matches(setup, tmp_path):
     """The plain (no-mesh) path still round-trips exactly."""
-    from gpzoo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from gpzoo_tpu.train.checkpoint import (make_restore_template,
+                                            restore_checkpoint,
+                                            save_checkpoint)
 
     X, Y, key, model = setup
     opt = optax.adam(1e-3)
     state = TrainState.create(model, opt, key)
     path = str(tmp_path / "ckpt.msgpack")
     save_checkpoint(path, state)
-    template = jax.tree_util.tree_map(
-        lambda a: np.zeros(a.shape, a.dtype), jax.eval_shape(lambda: state)
-    )
+    template = make_restore_template(state)
     restored = restore_checkpoint(path, template)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(

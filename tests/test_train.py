@@ -13,6 +13,7 @@ from gpzoo_tpu.train import (
     clamp_nonnegative,
     make_batched_train_step,
     make_scan_runner,
+    make_restore_template,
     make_train_step,
     negative_elbo,
     negative_elbo_batched,
@@ -362,10 +363,63 @@ def test_checkpoint_hook_rotates_and_resumes(key, nsf_data, tmp_path):
     assert str(tmp_path / "run.step15") in tagged
     assert str(tmp_path / "run.step20") in tagged
 
-    template = jax.tree_util.tree_map(
-        lambda a: np.zeros(a.shape, a.dtype), jax.eval_shape(lambda: state)
-    )
+    template = make_restore_template(state)
     restored = restore_checkpoint(hook.latest_path, template)
     s_live, l_live = runner(state, X, Y)
     s_res, l_res = runner(restored, X, Y)
     np.testing.assert_array_equal(np.asarray(l_live), np.asarray(l_res))
+
+
+def test_restore_ignores_stale_tmp_shard(key, nsf_data, tmp_path):
+    """A crash mid-save can leave `<ckpt>.shard<p>.tmp` beside good shard
+    files; restore must skip it (the .shard* glob used to pick it up and
+    crash on the sort key — the recovery path failing in exactly the
+    crash scenario it exists for)."""
+    from gpzoo_tpu.train.checkpoint import _load_multiprocess
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    state = TrainState.create(model, optax.adam(1e-3), key)
+    path = str(tmp_path / "ckpt")
+    # fabricate the single-shard multi-process layout + a stale tmp file
+    from flax import serialization
+
+    flat, _ = jax.tree_util.tree_flatten(state)
+    local = {f"{i}|": np.asarray(leaf) for i, leaf in enumerate(flat)}
+    with open(path + ".shard0", "wb") as f:
+        f.write(serialization.msgpack_serialize(local))
+    with open(path + ".shard0.tmp", "wb") as f:
+        f.write(b"garbage from a killed save")
+
+    template = make_restore_template(state)
+    restored = _load_multiprocess(path, template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        jax.device_get(state), restored,
+    )
+
+
+def test_checkpoint_rotation_is_prefix_safe(key, nsf_data, tmp_path):
+    """Rotating out 'run.step5' must not glob away 'run.step50'/'.step55'
+    (newer checkpoints sharing the string prefix)."""
+    from gpzoo_tpu.train.checkpoint import CheckpointHook
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    state = TrainState.create(model, optax.adam(1e-3), key)
+
+    hook = CheckpointHook(str(tmp_path / "run"), every=1, keep=10)
+    # drive the hook directly with states at steps 5, 10, ..., 60:
+    # rotating out step5 while step50/step55 exist exercises the prefix
+    for step in range(5, 61, 5):
+        hook.keep = 10 if step <= 55 else 1  # force rotation at the end
+        hook(state.replace(step=jnp.asarray(step)), None)
+    import glob as _glob
+
+    remaining = sorted(_glob.glob(str(tmp_path / "run.step*")))
+    assert remaining == [str(tmp_path / "run.step60")], remaining
+    # .latest still restores (it tracks the newest save, cloned bytes)
+    template = make_restore_template(state)
+    restored = restore_checkpoint(hook.latest_path, template)
+    assert int(restored.step) == 60
