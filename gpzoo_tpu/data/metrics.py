@@ -91,8 +91,17 @@ def best_match_correlation(true_components, factors):
     greedy matching, the result is independent of component order.
     Requires ``factors`` to have at least as many rows as
     ``true_components``.
+
+    scipy provides the assignment solver (part of the ``data`` extra);
+    without it the function falls back to greedy without-replacement
+    matching in true-component order — the pre-round-3 behavior, which
+    can under-report recovery when two true parts prefer the same
+    factor.
     """
-    from scipy.optimize import linear_sum_assignment
+    try:
+        from scipy.optimize import linear_sum_assignment
+    except ImportError:
+        linear_sum_assignment = None
 
     p = np.asarray(true_components, np.float64)
     f = np.asarray(factors, np.float64)
@@ -107,5 +116,15 @@ def best_match_correlation(true_components, factors):
         np.linalg.norm(p, axis=1)[:, None]
         * np.linalg.norm(f, axis=1)[None, :] + 1e-12
     )
-    rows, cols = linear_sum_assignment(-corr)
-    return corr[rows, cols]
+    if linear_sum_assignment is not None:
+        rows, cols = linear_sum_assignment(-corr)
+        return corr[rows, cols]
+    # greedy fallback (no scipy): best remaining factor per true
+    # component, in order
+    taken = np.zeros(f.shape[0], bool)
+    out = np.empty(p.shape[0])
+    for i in range(p.shape[0]):
+        j = int(np.argmax(np.where(taken, -np.inf, corr[i])))
+        taken[j] = True
+        out[i] = corr[i, j]
+    return out

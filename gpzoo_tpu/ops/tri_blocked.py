@@ -155,7 +155,13 @@ def tri_tri_matmul(w, lu, panels=None):
 def tri_t_matmul_b(w, rhs, panels=None):
     """``Wᵀ @ rhs`` for lower-triangular W, panel-blocked: output row
     panel [s, e) only reads rhs rows k ≥ s (Wᵀ is upper-triangular).
-    Used by the combined Cholesky-inverse VJP (Wᵀ dW, Lᵀ L̄, Wᵀ Φ)."""
+
+    Measured negative result: ``cholesky_inverse_mm``'s backward was
+    built on this family (Wᵀ dW, Lᵀ L̄, Wᵀ Φ) but the panel-blocked VJP
+    einsums OOM'd at the MGGP full scale — the concatenate holds the
+    parts AND the result live (+90 MB over the 15.75 GB HBM budget), so
+    the VJP uses dense einsums instead (see ops/linalg.py). Kept
+    verified (tests/test_ops.py) for shapes with headroom."""
     m_dim = w.shape[-1]
     if panels is None:
         panels = PANELS if m_dim >= MIN_DIM else 1

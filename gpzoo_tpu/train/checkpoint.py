@@ -76,8 +76,21 @@ def save_checkpoint(path, state):
         return path
 
     # Multi-process: persist only the shards this process can address.
+    from jax.experimental import multihost_utils
+
+    # One save-id shared by every process's file for THIS save call:
+    # restore refuses to mix shard files from different saves (a crash
+    # between two processes' atomic replaces leaves step-N and step-N-k
+    # files side by side — silently resuming from that mix is corruption
+    # in exactly the crash scenario checkpoints exist for).
+    save_id = int(multihost_utils.broadcast_one_to_all(
+        np.int64(np.random.default_rng().integers(0, 2**62))))
     flat, _ = jax.tree_util.tree_flatten(state)
-    local = {}
+    local = {"__meta__": {
+        "process_index": np.int64(jax.process_index()),
+        "process_count": np.int64(jax.process_count()),
+        "save_id": np.int64(save_id),
+    }}
     for i, leaf in enumerate(flat):
         if isinstance(leaf, jax.Array):
             for sh in leaf.addressable_shards:
@@ -92,8 +105,6 @@ def save_checkpoint(path, state):
     data = serialization.msgpack_serialize(local)
     _atomic_write(shard_path, data)
     # Barrier so no process reports success until every file is on disk.
-    from jax.experimental import multihost_utils
-
     multihost_utils.sync_global_devices("gpzoo_ckpt_save")
     return path
 
@@ -114,9 +125,14 @@ def _load_multiprocess(path, template):
         raise FileNotFoundError(f"no checkpoint at {path}(.shard*)")
     flat, treedef = jax.tree_util.tree_flatten(template)
     out = [None] * len(flat)
+    covered = [0] * len(flat)  # elements written per leaf
+    metas = []
     for fp in files:
         with open(fp, "rb") as f:
             local = serialization.msgpack_restore(f.read())
+        meta = local.pop("__meta__", None)
+        if meta is not None:
+            metas.append((fp, meta))
         for key, arr in local.items():
             idx_s, slice_s = key.split("|")
             i = int(idx_s)
@@ -127,31 +143,53 @@ def _load_multiprocess(path, template):
                 for s, d in zip(sl, np.shape(tmpl))
             ):
                 out[i] = arr
+                covered[i] = int(np.size(tmpl))
             else:
                 if out[i] is None:
                     out[i] = np.empty(np.shape(tmpl), dtype=arr.dtype)
                 out[i][sl] = arr
+                covered[i] += int(np.asarray(arr).size)
+    # Reject incomplete or inconsistent shard sets BEFORE handing back
+    # data: a lost shard file or a crash between two processes' atomic
+    # replaces must fail loudly, never resume from np.empty regions or
+    # a mix of two different saves.
+    if metas:
+        counts = {int(m["process_count"]) for _, m in metas}
+        ids = {int(m["save_id"]) for _, m in metas}
+        if len(ids) != 1:
+            raise ValueError(
+                f"checkpoint {path}: shard files come from different "
+                f"saves (save_ids {sorted(ids)}) — a save crashed "
+                "between processes; restore an older step instead")
+        if len(metas) != len(files) or counts != {len(files)}:
+            raise ValueError(
+                f"checkpoint {path}: found {len(files)} shard files "
+                f"but the save ran with {sorted(counts)} processes")
     missing = [i for i, o in enumerate(out) if o is None]
     if missing:
         raise ValueError(f"checkpoint {path} missing leaves {missing}")
+    partial = [i for i, (o, c) in enumerate(zip(out, covered))
+               if o is not None and c != int(np.size(flat[i]))]
+    if partial:
+        raise ValueError(
+            f"checkpoint {path}: leaves {partial} only partially "
+            "covered by the shard files (incomplete shard set)")
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _place(state, shardings):
     """Lay restored host arrays onto their mesh per ``shardings`` (leaves
     may be ``None`` → leave as-is)."""
+    # One placement implementation for the whole library (multi-process
+    # device_put vs make_array_from_callback logic lives in exactly one
+    # spot). Imported lazily: parallel.sharding imports train.loop, so a
+    # top-level import would cycle through the package inits.
+    from gpzoo_tpu.parallel.sharding import _put_leaf
 
     def put(leaf, sh):
         if sh is None:
             return leaf
-        arr = np.asarray(leaf)
-        if sh.is_fully_addressable:
-            return jax.device_put(arr, sh)
-        # multi-process: every process holds the full host array and
-        # contributes its addressable pieces.
-        return jax.make_array_from_callback(
-            arr.shape, sh, lambda idx: arr[idx]
-        )
+        return _put_leaf(np.asarray(leaf), sh)
 
     # shardings is the structure tree (None = leave that subtree alone):
     # flattening it first lets a None cover a whole state subtree.

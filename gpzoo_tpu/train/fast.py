@@ -174,18 +174,22 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     nc = b // microbatch
 
     kernel = gp.kernel
-    collapsed_L = None
+    # One-point Gram probe: the kernel's true leading (factor) batch
+    # shape. σ, ℓ, or a group parameter may each carry the L axis, so
+    # probing σ alone is wrong (a scalar-σ kernel with an L-batched ℓ
+    # is still L-batched). eval_shape: no ops are ever dispatched.
+    gz1 = None if groups_z is None else groups_z[:1]
+    kernel_batch = jax.eval_shape(
+        lambda: kernel.gram(gp.Z[:1], gp.Z[:1], gz1, gz1)
+    ).shape[:-2]
     if shared_kernel:
         # All L factors share one (σ, ℓ) — the north-star configuration
         # (equal frozen hyperparameters, notebook cells 20+25). The Gram,
         # Cholesky, and per-chunk solve collapse to a single shared copy;
-        # only the Lu/mu-dependent terms stay L-batched. Record the
-        # collapsed factor count: the L factors remain distinct latent
-        # functions, so the reparameterization draw (and, with shared
-        # mu/Lu, the KL copy count) must keep the L axis exactly like the
-        # generic path and the precomputed path do.
-        sig = jnp.asarray(kernel.sigma)
-        collapsed_L = int(sig.size) if sig.size > 1 else None
+        # only the Lu/mu-dependent terms stay L-batched. (MGGP kernels
+        # keep their batched group parameter, so the collapsed Gram may
+        # legitimately stay (L, M, M) — the KL correction below keys on
+        # the actual collapsed batch, not on `shared_kernel` itself.)
         kernel = _collapse_shared_kernel(kernel)
     # Cholesky/solve inputs are precision-critical: a bf16-matmul blocked
     # Cholesky of a jittered Gram visibly corrupts K⁻¹μ through the
@@ -299,19 +303,23 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         kl = jnp.sum(dists.kl_divergence(qu, pu))
         # S = Lu Luᵀ is only consumed by the non-factored chunk path.
         s = jnp.einsum("...ij,...kj->...ik", lu, lu)
-    if collapsed_L is not None and not whitened:
+    post_batch = kzz.shape[:-2]
+    if not whitened and post_batch != kernel_batch:
         # The generic path broadcasts qU against the L-batched prior
         # (pU scale = the pre-collapse (L, M, M) Lzz), so with shared
-        # mu/Lu it sums collapsed_L identical KL copies; the collapsed
-        # branches above computed only broadcast(mu, Lu) copies. Same
-        # correction as nsf_negative_elbo_precomputed. (The whitened KL
-        # never sees the kernel — no correction, matching the generic
-        # whitened_kl.)
-        kl_copies = 1
-        for d in jnp.broadcast_shapes(jnp.shape(gp.mu)[:-1],
-                                      jnp.shape(lu)[:-2]):
-            kl_copies *= int(d)
-        kl = kl * (collapsed_L // kl_copies)
+        # mu/Lu it sums L identical KL copies; the collapsed branches
+        # above computed only broadcast(mu, Lu, collapsed-Lzz) copies.
+        # Same correction as nsf_negative_elbo_precomputed. (The
+        # whitened KL never sees the kernel — no correction, matching
+        # the generic whitened_kl.)
+        def _kl_copies(kb):
+            n = 1
+            for d in jnp.broadcast_shapes(jnp.shape(gp.mu)[:-1],
+                                          jnp.shape(lu)[:-2], kb):
+                n *= int(d)
+            return n
+
+        kl = kl * (_kl_copies(kernel_batch) // _kl_copies(post_batch))
 
     # Per-step factored precomputations (see docstring). Every per-chunk
     # projection is a matmul (no triangular solves anywhere):
@@ -356,20 +364,20 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # bit-identical to Normal.sample(key, (E,)) on the full (L, B) marginal
     # (qF batch = broadcast of the kernel's L axis and mu's leading dims).
     mu = gp.mu
-    kxx_probe = kernel.diag(x[:1])  # shape probe: is the kernel L-batched?
-    kxx_batch = (kxx_probe.shape[0],) if kxx_probe.ndim == 2 else ()
-    qf_batch = jnp.broadcast_shapes(kxx_batch, jnp.shape(mu)[:-1])
-    if collapsed_L is not None:
-        # shared_kernel removed the kernel's factor axis, but the L
-        # factors are distinct latent functions — the draw stays
-        # (E, L, b)-independent, matching the generic path's
-        # Normal.sample over the (L, B) marginal.
-        qf_batch = jnp.broadcast_shapes(qf_batch, (collapsed_L,))
+    # The generic path's qF marginal batch is the broadcast of the
+    # PRE-collapse kernel batch (σ, ℓ, or group params may carry L),
+    # mu's and Lu's leading dims — the L factors are distinct latent
+    # functions even when every parameter is shared, so the draw stays
+    # (E, L, b)-independent exactly like Normal.sample on the (L, B)
+    # marginal.
+    qf_batch = jnp.broadcast_shapes(kernel_batch, jnp.shape(mu)[:-1],
+                                    jnp.shape(lu)[:-2])
     eps_shape = (E,) + qf_batch + (b,)
     # dtype must match Normal.sample's (result_type of the marginal loc)
     # for the draws to be bit-identical to the generic path.
-    eps_dtype = jnp.result_type(x.dtype, jnp.asarray(mu).dtype,
-                                kxx_probe.dtype)
+    eps_dtype = jnp.result_type(
+        x.dtype, jnp.asarray(mu).dtype,
+        jax.eval_shape(lambda: kernel.diag(x[:1])).dtype)
     eps = jax.random.normal(key, eps_shape, dtype=eps_dtype)
 
     w_sp = softplus(model.W_raw)  # (D, L)
@@ -509,6 +517,13 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # the w_form path, a/ã on every other factored branch (all tagged
     # "proj_a"); "save_proj_kzx" additionally keeps the Gram columns
     # (+2 buffers, also skips the Gram recompute).
+    if isinstance(remat, str) and remat not in ("save_proj",
+                                                "save_proj_kzx"):
+        # any other non-empty string would silently fall through to
+        # full remat below — a typo must not select the wrong policy
+        raise ValueError(
+            f"remat={remat!r}: expected True, False, 'save_proj' or "
+            "'save_proj_kzx'")
     if remat in ("save_proj", "save_proj_kzx"):
         names = (("proj_a",) if remat == "save_proj"
                  else ("proj_a", "proj_kzx"))
@@ -618,12 +633,20 @@ def precompute_nsf_projection(model, x, block=None):
     k_inv = logdet = None
     if not whitened:
         k_inv, logdet = _kinv_logdet(lzz)
+    # Variance diag of the ORIGINAL kernel, explicitly broadcast to the
+    # kernel's true factor batch (a 1-point Gram probe): its (L, 1)
+    # shape carries the factor count into the qF batch shape and the KL
+    # copy count downstream. σ alone is not a reliable probe — a
+    # scalar-σ kernel with an L-batched ℓ is still L-batched.
+    kxx = jnp.asarray(gp.kernel.variance_vector())
+    pre_batch = jax.eval_shape(
+        lambda: gp.kernel.gram(gp.Z[:1], gp.Z[:1], None, None)
+    ).shape[:-2]
+    if pre_batch:
+        kxx = jnp.broadcast_to(kxx.reshape(-1, 1), (pre_batch[0], 1))
     return NSFProjection(
         proj_t=jax.block_until_ready(proj_t), a2=a2,
-        # variance diag of the ORIGINAL kernel: its (L, 1) shape carries
-        # the factor count into the qF batch shape (the collapsed copy
-        # above would flatten qF to one factor).
-        kxx=gp.kernel.variance_vector(), k_inv=k_inv, logdet_lzz=logdet,
+        kxx=kxx, k_inv=k_inv, logdet_lzz=logdet,
         whitened=whitened,
     )
 

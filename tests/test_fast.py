@@ -188,6 +188,66 @@ def test_shared_kernel_shared_mu_degenerate(key, whitened, E):
     assert float(b) == pytest.approx(float(ref), rel=1e-5)
 
 
+def test_shared_kernel_scalar_sigma_batched_lengthscale(key):
+    """A scalar-σ kernel with an L-batched (equal) ℓ is still L-batched.
+    Regression: the factor-batch probe keyed on σ alone, so this config
+    lost the factor axis of the noise draw (and, under shared_kernel,
+    the KL copy count) — silently diverging from the generic path."""
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=200, D=10, L=4)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    kernel = gz.kernels.NSFRBF.create(L=4, sigma=1.2, lengthscale=0.8)
+    kernel = kernel.replace(sigma=jnp.asarray(kernel.sigma).reshape(-1)[0])
+    gp = gz.gps.SVGP.create(jax.random.PRNGKey(0), kernel, dim=2, M=16,
+                            jitter=1e-1)
+    model = gz.models.NSF.create(jax.random.PRNGKey(1), gp, D=10, N=200, L=4)
+    idx = jnp.arange(128)
+
+    for E in (1, 3):
+        ref = negative_elbo_batched(model, x, y, idx, key, E=E)
+        for sk in (False, True):
+            fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=E,
+                                             microbatch=64, factored=True,
+                                             shared_kernel=sk)
+            assert float(fast) == pytest.approx(float(ref), rel=1e-5), (E, sk)
+
+
+def test_mggp_shared_kernel_shared_mu(key, rng):
+    """shared_kernel=True on an MGGP kernel whose group parameter stays
+    L-batched after the σ/ℓ collapse, with shared mu/Lu. Regression: the
+    KL copy correction double-counted (the collapsed Gram is still
+    (L, M, M), so the w_form KL already sums L copies — multiplying by
+    L again biased training toward the prior by L²)."""
+    N, D, L, M, G = 200, 10, 3, 16, 3
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    groups = jnp.asarray(rng.integers(0, G, N))
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    kernel = gz.kernels.MGGPNSFRBF.create(
+        sigma=1.0, lengthscale=1.2, group_diff_param=0.7, n_groups=G, L=L)
+    gp = gz.gps.MGGPSVGP.create(key, kernel, dim=2, M=M, jitter=1e-1,
+                                n_groups=G)
+    assert gp.mu.ndim == 1  # shared-mu layout
+    model = gz.models.MGGPNSF.create(key, gp, D=D, N=N, L=L)
+    idx = jnp.arange(48)
+
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2, groups_x=groups)
+    for sk in (False, True):
+        fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                         microbatch=16, factored=True,
+                                         groups=groups, shared_kernel=sk)
+        assert float(fast) == pytest.approx(float(ref), rel=1e-9), sk
+
+
+def test_remat_rejects_unknown_string(setup):
+    """A typo'd remat policy string must raise, not silently select full
+    rematerialization."""
+    model, x, y, idx, key = setup
+    with pytest.raises(ValueError, match="remat"):
+        nsf_negative_elbo_batched(model, x, y, idx, key, microbatch=16,
+                                  remat="save_proj_kxz")
+
+
 def test_mggp_fast_path_matches_generic(key, rng):
     """Fast path with group labels == generic MGGP-NSF minibatch ELBO."""
     N, D, L, M, G = 200, 10, 2, 16, 3

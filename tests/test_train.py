@@ -400,6 +400,62 @@ def test_restore_ignores_stale_tmp_shard(key, nsf_data, tmp_path):
     )
 
 
+def test_restore_rejects_incomplete_or_mixed_shard_set(key, nsf_data,
+                                                       tmp_path):
+    """A lost shard file or a crash between two processes' atomic
+    replaces must fail loudly at restore — never resume from
+    uninitialized regions or a mix of two different saves."""
+    from flax import serialization
+
+    from gpzoo_tpu.train.checkpoint import _load_multiprocess
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    state = TrainState.create(model, optax.adam(1e-3), key)
+    flat, _ = jax.tree_util.tree_flatten(state)
+    template = make_restore_template(state)
+
+    def meta(p, nprocs, save_id):
+        return {"process_index": np.int64(p),
+                "process_count": np.int64(nprocs),
+                "save_id": np.int64(save_id)}
+
+    def write(path, local):
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(local))
+
+    # 2-process layout: leaf 0 split in half across the two files
+    lead = np.asarray(flat[0])
+    rest = {f"{i}|": np.asarray(leaf) for i, leaf in enumerate(flat[1:], 1)}
+    h = lead.shape[0] // 2
+    sl0 = f"0:{h}" + "".join(f",0:{d}" for d in lead.shape[1:])
+    sl1 = f"{h}:{lead.shape[0]}" + "".join(
+        f",0:{d}" for d in lead.shape[1:])
+    shard0 = {"__meta__": meta(0, 2, 42), f"0|{sl0}": lead[:h], **rest}
+    shard1 = {"__meta__": meta(1, 2, 42), f"0|{sl1}": lead[h:]}
+
+    # complete pair restores fine
+    path = str(tmp_path / "ok")
+    write(path + ".shard0", shard0)
+    write(path + ".shard1", shard1)
+    restored = _load_multiprocess(path, template)
+    np.testing.assert_array_equal(
+        jax.tree_util.tree_leaves(restored)[0], lead)
+
+    # missing shard1 -> leaf 0 only partially covered -> raise
+    path = str(tmp_path / "lost")
+    write(path + ".shard0", shard0)
+    with pytest.raises(ValueError, match="2.*process|partially"):
+        _load_multiprocess(path, template)
+
+    # shard1 from a DIFFERENT save -> raise
+    path = str(tmp_path / "mixed")
+    write(path + ".shard0", shard0)
+    write(path + ".shard1", {**shard1, "__meta__": meta(1, 2, 43)})
+    with pytest.raises(ValueError, match="different +saves"):
+        _load_multiprocess(path, template)
+
+
 def test_checkpoint_rotation_is_prefix_safe(key, nsf_data, tmp_path):
     """Rotating out 'run.step5' must not glob away 'run.step50'/'.step55'
     (newer checkpoints sharing the string prefix)."""
