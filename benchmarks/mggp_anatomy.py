@@ -257,9 +257,14 @@ def measure_components(cfg, model, x, y_t, g):
 
     add("W-form chunk projection fwd",
         _timeit(proj, w_inv, kzx, c_wlu))
-    add("W-form chunk projection fwd+bwd",
-        _timeit(jax.grad(proj, argnums=(0, 1, 2)), w_inv, kzx, c_wlu))
-    del kzx, c_wlu, w_inv
+    # fwd+bwd at full B OOMs *in this harness* (the measurement holds the
+    # model/data buffers the production scan has long freed, plus three
+    # input cotangents at once); per-chunk cost is linear in B (every
+    # product contracts over the spot axis), so measure at B/2 and scale.
+    half = kzx[..., : B // 2]
+    add("W-form chunk projection fwd+bwd (B/2 x2)",
+        2 * _timeit(jax.grad(proj, argnums=(0, 1, 2)), w_inv, half, c_wlu))
+    del kzx, half, c_wlu, w_inv
 
     # --- whole loss -------------------------------------------------------
     from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
@@ -271,11 +276,16 @@ def measure_components(cfg, model, x, y_t, g):
     key = jax.random.PRNGKey(2)
     kwargs = dict(E=cfg.E, microbatch=B, y_transposed=True,
                   factored=True, remat=True)
+    # data arrays must be *arguments*, not closure constants: the remote
+    # compile service rejects programs embedding the 720 MB y_t
+    # (HTTP 413 length limit exceeded)
     add("loss fwd", _timeit(
-        lambda m: loss(m, x, y_t, idx, key, groups=g, **kwargs), model))
+        lambda m, x_, y_, g_: loss(m, x_, y_, idx, key, groups=g_,
+                                   **kwargs), model, x, y_t, g))
     add("loss fwd+bwd", _timeit(jax.grad(
-        lambda m: loss(m, x, y_t, idx, key, groups=g, **kwargs),
-        allow_int=True), model))
+        lambda m, x_, y_, g_: loss(m, x_, y_, idx, key, groups=g_,
+                                   **kwargs), allow_int=True),
+        model, x, y_t, g))
     return rows
 
 
