@@ -265,8 +265,67 @@ def _cholesky_mm_bwd(l, dl):
 cholesky_mm.defvjp(_cholesky_mm_fwd, _cholesky_mm_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def cholesky_inverse_mm(k, bwd_precision="highest"):
+def _panel_bwd_products(l, w, dl, dw, eye):
+    """The five VJP products of :func:`cholesky_inverse_mm`, panel-blocked
+    over the triangular operand (≈0.58× dense FLOPs per product).
+
+    Assembly is a chain of ``dynamic_update_slice`` writes into one
+    preallocated output — NOT ``jnp.concatenate``: concat holds every
+    panel part AND the result live simultaneously (the +90 MB HBM
+    overrun of the first round-3 attempt), while the update chain lets
+    XLA retire each part after its write, so peak ≈ result + one part.
+    Caller sets the matmul precision context.
+    """
+    from gpzoo_tpu.ops.tri_blocked import MIN_DIM, PANELS, _bounds
+
+    m = l.shape[-1]
+    bounds = _bounds(m, PANELS if m >= MIN_DIM else 1)
+
+    def rows(out, part, s):
+        return jax.lax.dynamic_update_slice(
+            out, part, (0,) * (out.ndim - 2) + (s, 0))
+
+    def cols(out, part, s):
+        return jax.lax.dynamic_update_slice(
+            out, part, (0,) * (out.ndim - 2) + (0, s))
+
+    def tri_t_mm(w_, rhs):
+        # Wᵀ @ rhs, W lower-triangular: output rows [s, e) read k ≥ s
+        out = jnp.zeros(jnp.broadcast_shapes(w_.shape, rhs.shape),
+                        jnp.result_type(w_, rhs))
+        for s, e in bounds:
+            out = rows(out, jnp.einsum("...ki,...kb->...ib",
+                                       w_[..., s:, s:e], rhs[..., s:, :]), s)
+        return out
+
+    def mm_tri_t(a, w_):
+        # A @ Wᵀ: output cols [s, e) read A cols l < e
+        out = jnp.zeros(jnp.broadcast_shapes(a.shape, w_.shape),
+                        jnp.result_type(a, w_))
+        for s, e in bounds:
+            out = cols(out, jnp.einsum("...il,...jl->...ij",
+                                       a[..., :e], w_[..., s:e, :e]), s)
+        return out
+
+    def mm_tri(a, w_):
+        # A @ W: output cols [s, e) read A cols l ≥ s
+        out = jnp.zeros(jnp.broadcast_shapes(a.shape, w_.shape),
+                        jnp.result_type(a, w_))
+        for s, e in bounds:
+            out = cols(out, jnp.einsum("...il,...lj->...ij",
+                                       a[..., s:], w_[..., s:, s:e]), s)
+        return out
+
+    t1 = tri_t_mm(w, dw)                               # Wᵀ dW
+    lbar = jnp.tril(dl) - jnp.tril(mm_tri_t(t1, w))    # − tril(· Wᵀ)
+    p = tri_t_mm(l, lbar)                              # Lᵀ L̄
+    phi = jnp.where(eye, 0.5 * p, jnp.tril(p))
+    phi = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+    return mm_tri(tri_t_mm(w, phi), w)                 # Wᵀ Φ W
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def cholesky_inverse_mm(k, bwd_precision="highest", bwd_blocked=False):
     """``(L, W) = (chol(K), L⁻¹)`` with one combined matmul-form backward.
 
     The per-factor trainable-kernel fast path (MGGP full scale) consumes
@@ -292,37 +351,40 @@ def cholesky_inverse_mm(k, bwd_precision="highest"):
     scale the HIGHEST backward costs ~219 ms vs ~60 ms at ``"default"``
     (bf16 inputs, f32 accumulation); see docs/PERFORMANCE.md for the
     measured trajectory check that gates the fast setting.
+
+    ``bwd_blocked`` (static): panel-block the five backward products over
+    their triangular operands (≈0.58× dense FLOPs), assembled by a
+    ``dynamic_update_slice`` chain instead of the concat whose
+    parts+result footprint OOM'd the first round-3 attempt (see
+    :func:`_panel_bwd_products`). Values identical to the dense forms up
+    to panel-sum reassociation (tests/test_ops.py).
     """
     l = jnp.linalg.cholesky(k)
     return l, tri_inverse(l)
 
 
-def _cholesky_inverse_mm_fwd(k, bwd_precision):
+def _cholesky_inverse_mm_fwd(k, bwd_precision, bwd_blocked):
     l = jnp.linalg.cholesky(k)
     w = tri_inverse(l)
     return (l, w), (l, w)
 
 
-def _cholesky_inverse_mm_bwd(bwd_precision, res, cots):
-    # Dense einsums on purpose: panel-blocking these five products with
-    # the ops/tri_blocked helpers (≈0.58× FLOPs) was tried in round 3
-    # and pushed the full-scale MGGP step 90 MB over HBM — each
-    # panel-concat output holds its parts AND the concatenated result
-    # live, ~2× the (L, M, M) footprint per product (remote compile:
-    # "Used 15.83G of 15.75G hbm"). The ~20 ms FLOP saving is not worth
-    # the OOM; at bf16 bwd_precision the dense forms cost ~60 ms total.
+def _cholesky_inverse_mm_bwd(bwd_precision, bwd_blocked, res, cots):
     l, w = res
     dl, dw = cots
     m = l.shape[-1]
     eye = jnp.eye(m, dtype=bool)
     with jax.default_matmul_precision(bwd_precision):
-        lbar = jnp.tril(dl) - jnp.tril(
-            jnp.einsum("...ki,...kl,...jl->...ij", w, dw, w)
-        )
-        p = jnp.einsum("...ki,...kj->...ij", l, lbar)  # Lᵀ L̄
-        phi = jnp.where(eye, 0.5 * p, jnp.tril(p))
-        phi = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
-        kbar = jnp.einsum("...ki,...kl,...lj->...ij", w, phi, w)
+        if bwd_blocked:
+            kbar = _panel_bwd_products(l, w, dl, dw, eye)
+        else:
+            lbar = jnp.tril(dl) - jnp.tril(
+                jnp.einsum("...ki,...kl,...jl->...ij", w, dw, w)
+            )
+            p = jnp.einsum("...ki,...kj->...ij", l, lbar)  # Lᵀ L̄
+            phi = jnp.where(eye, 0.5 * p, jnp.tril(p))
+            phi = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+            kbar = jnp.einsum("...ki,...kl,...lj->...ij", w, phi, w)
     return (kbar,)
 
 

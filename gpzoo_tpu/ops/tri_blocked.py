@@ -156,12 +156,15 @@ def tri_t_matmul_b(w, rhs, panels=None):
     """``Wᵀ @ rhs`` for lower-triangular W, panel-blocked: output row
     panel [s, e) only reads rhs rows k ≥ s (Wᵀ is upper-triangular).
 
-    Measured negative result: ``cholesky_inverse_mm``'s backward was
-    built on this family (Wᵀ dW, Lᵀ L̄, Wᵀ Φ) but the panel-blocked VJP
-    einsums OOM'd at the MGGP full scale — the concatenate holds the
-    parts AND the result live (+90 MB over the 15.75 GB HBM budget), so
-    the VJP uses dense einsums instead (see ops/linalg.py). Kept
-    verified (tests/test_ops.py) for shapes with headroom."""
+    History: ``cholesky_inverse_mm``'s backward was first built on this
+    family (Wᵀ dW, Lᵀ L̄, Wᵀ Φ) but the concat assembly OOM'd at the MGGP
+    full scale — concatenate holds the parts AND the result live
+    (+90 MB over the 15.75 GB HBM budget). The VJP now uses
+    ``linalg._panel_bwd_products`` (dynamic-update-slice assembly, fits)
+    when the backward runs at HIGHEST where the FLOP skip wins 1.22×,
+    and dense einsums at bf16 where it measured a wash (0.98×) —
+    docs/PERFORMANCE.md. This concat version stays for shapes with
+    headroom, verified in tests/test_ops.py."""
     m_dim = w.shape[-1]
     if panels is None:
         panels = PANELS if m_dim >= MIN_DIM else 1

@@ -212,7 +212,12 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             if grad_precision is None:
                 grad_precision = ("default" if gp.jitter >= 1e-2
                                   else "highest")
-            lzz, w_inv = cholesky_inverse_mm(kzz, grad_precision)
+            # Panel-block the five VJP products only where it measured a
+            # win: 1.22× at a HIGHEST backward (the small-jitter gate),
+            # 0.98× at bf16 where the FLOP skip loses to panel overhead
+            # (docs/PERFORMANCE.md, 2026-08-17 A/B).
+            lzz, w_inv = cholesky_inverse_mm(
+                kzz, grad_precision, grad_precision == "highest")
         else:
             # matmul-form Cholesky VJP: with trainable kernels the
             # backward through chol(Kzz) is two ~6 TF/s batched solves in

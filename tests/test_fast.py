@@ -272,6 +272,38 @@ def test_mggp_fast_path_matches_generic(key, rng):
                                          groups=groups)
         assert float(fast) == pytest.approx(float(ref), rel=1e-9), factored
 
+    # small-jitter w_form: grad_precision auto-gates to HIGHEST, which
+    # dispatches the panel-blocked cholesky_inverse_mm backward — value
+    # AND kernel-hyperparameter gradient must still match the generic
+    # path (float64)
+    model_sj = model.replace(gp=model.gp.replace(jitter=1e-3))
+
+    def gref(m):
+        return negative_elbo_batched(m, x, y, idx, key, E=2,
+                                     groups_x=groups)
+
+    def gfast(m):
+        return nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                         microbatch=16, factored=True,
+                                         groups=groups)
+
+    assert float(gfast(model_sj)) == pytest.approx(float(gref(model_sj)),
+                                                   rel=1e-9)
+    gr = jax.grad(gref, allow_int=True)(model_sj)
+    gf = jax.grad(gfast, allow_int=True)(model_sj)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                            jax.tree_util.tree_leaves(gf)):
+        if a.dtype == jax.dtypes.float0:  # int leaves (group labels)
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        # atol rides the leaf's own scale: at jitter 1e-3 some gradient
+        # leaves span ~17 orders of magnitude (cancelling embedding
+        # components) and the sub-machine-epsilon residue differs by
+        # summation order between the two paths
+        np.testing.assert_allclose(b, a, rtol=1e-6,
+                                   atol=1e-9 * max(np.max(np.abs(a)), 1.0),
+                                   err_msg=str(path))
+
 
 def test_bench_configuration_matches_generic(key):
     """The exact bench.py flag set (freeze + factored + shared_kernel +

@@ -196,6 +196,30 @@ def test_cholesky_inverse_mm_matches_autodiff(rng):
                                rtol=1e-9, atol=1e-10)
 
 
+def test_cholesky_inverse_mm_blocked_bwd_matches_dense(rng, monkeypatch):
+    """bwd_blocked=True (panel-blocked VJP products, update-slice
+    assembly) must reproduce the dense backward exactly up to panel-sum
+    reassociation — the small-jitter HIGHEST-gradient path dispatches it
+    (train/fast.py)."""
+    import gpzoo_tpu.ops.tri_blocked as tb
+    from gpzoo_tpu.ops.linalg import cholesky_inverse_mm
+
+    monkeypatch.setattr(tb, "MIN_DIM", 8)  # force multi-panel at test M
+    a = rng.standard_normal((2, 50, 50)) * 0.3
+    k = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(50))
+    gl = jnp.asarray(rng.standard_normal((2, 50, 50)))
+    gw = jnp.asarray(rng.standard_normal((2, 50, 50)))
+
+    def loss(k_, blocked):
+        l_, w_ = cholesky_inverse_mm(k_, "highest", blocked)
+        return jnp.sum(gl * l_) + jnp.sum(gw * w_)
+
+    gd = jax.grad(loss)(k, False)
+    gb = jax.grad(loss)(k, True)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_tri_blocked_matmuls_match_dense(rng):
     from gpzoo_tpu.ops.tri_blocked import tri_matmul, tri_tri_matmul
 
