@@ -76,7 +76,14 @@ def _matmul_kl(mu, lu, lzz, k_inv=None):
 
 def _collapse_shared_kernel(kernel):
     """Take factor 0's hyperparameters of an L-batched kernel whose
-    factors are known-equal (caller asserts) — Gram/Cholesky collapse."""
+    factors are known-equal (caller asserts) — Gram/Cholesky collapse.
+
+    Gradient contract: loss VALUES are unchanged, but every factor's
+    σ/ℓ gradient routes through factor 0's entry (the uncollapsed
+    program distributes the same total per factor) — only the sum is
+    meaningful, so train the hyperparameters through this collapse only
+    if the optimizer treats them as one tied parameter; production
+    configs freeze them (tests/test_fast_property.py)."""
     return kernel.replace(
         sigma=jnp.asarray(kernel.sigma).reshape(-1)[0],
         lengthscale=jnp.asarray(kernel.lengthscale).reshape(-1)[0],
