@@ -289,9 +289,18 @@ def _panel_bwd_products(l, w, dl, dw, eye):
         return jax.lax.dynamic_update_slice(
             out, part, (0,) * (out.ndim - 2) + (0, s))
 
+    def out_shape(a, b, rows_dim, cols_dim):
+        # explicit matmul result shape — broadcast_shapes over full
+        # operand shapes is only right for square operands, and a wrong
+        # rhs must raise, not produce a wrong-shaped zeros buffer
+        batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+        return batch + (rows_dim, cols_dim)
+
     def tri_t_mm(w_, rhs):
         # Wᵀ @ rhs, W lower-triangular: output rows [s, e) read k ≥ s
-        out = jnp.zeros(jnp.broadcast_shapes(w_.shape, rhs.shape),
+        if w_.shape[-2] != rhs.shape[-2]:
+            raise ValueError(f"tri_t_mm: {w_.shape} vs {rhs.shape}")
+        out = jnp.zeros(out_shape(w_, rhs, w_.shape[-1], rhs.shape[-1]),
                         jnp.result_type(w_, rhs))
         for s, e in bounds:
             out = rows(out, jnp.einsum("...ki,...kb->...ib",
@@ -300,7 +309,9 @@ def _panel_bwd_products(l, w, dl, dw, eye):
 
     def mm_tri_t(a, w_):
         # A @ Wᵀ: output cols [s, e) read A cols l < e
-        out = jnp.zeros(jnp.broadcast_shapes(a.shape, w_.shape),
+        if a.shape[-1] != w_.shape[-1]:
+            raise ValueError(f"mm_tri_t: {a.shape} vs {w_.shape}")
+        out = jnp.zeros(out_shape(a, w_, a.shape[-2], w_.shape[-2]),
                         jnp.result_type(a, w_))
         for s, e in bounds:
             out = cols(out, jnp.einsum("...il,...jl->...ij",
@@ -309,7 +320,9 @@ def _panel_bwd_products(l, w, dl, dw, eye):
 
     def mm_tri(a, w_):
         # A @ W: output cols [s, e) read A cols l ≥ s
-        out = jnp.zeros(jnp.broadcast_shapes(a.shape, w_.shape),
+        if a.shape[-1] != w_.shape[-2]:
+            raise ValueError(f"mm_tri: {a.shape} vs {w_.shape}")
+        out = jnp.zeros(out_shape(a, w_, a.shape[-2], w_.shape[-1]),
                         jnp.result_type(a, w_))
         for s, e in bounds:
             out = cols(out, jnp.einsum("...il,...lj->...ij",

@@ -40,6 +40,7 @@ from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_inverse_mm,
                                   tri_inverse, tril_logdet, whitened_kl)
 from gpzoo_tpu.ops.tri_blocked import (tri_kl_trace, tri_matmul,
                                        tri_sq_colsum, tri_tri_matmul)
+from gpzoo_tpu.train.policy import resolve_policy
 
 
 def _matmul_kl(mu, lu, lzz, k_inv=None):
@@ -207,24 +208,30 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     with jax.default_matmul_precision("highest"):
         kzz = add_jitter(kernel.gram(gp.Z, gp.Z, groups_z, groups_z),
                          gp.jitter)
-        # Per-factor prior Choleskys (L, M, M) — the trainable-kernel
-        # MGGP/NSF configuration — take the W-form path: (Lzz, W = Lzz⁻¹)
-        # from ONE combined custom-VJP op, the KL trace as ‖W·Lu‖²_F, the
-        # chunk projection as a = W·Kzx with colsum((Cᵀa)²), C = W·Lu.
-        # No K⁻¹ is ever built: at full MGGP scale the (20, 3010, 3010)
-        # K⁻¹ = WᵀW product and its backward dominated the step
-        # (benchmarks/mggp_anatomy.py: 118 ms fwd of a 1025 ms step).
-        w_form = factored and not whitened and kzz.ndim == 3
+    # All static dispatch decisions — projection form, precision gates,
+    # remat validation — resolve in one place (train/policy.py holds the
+    # dispatch table and the measured rationale for each default).
+    pol = resolve_policy(
+        gp.jitter, whitened=whitened, factored=factored,
+        per_factor_chol=kzz.ndim == 3,
+        stable_projection=stable_projection,
+        grad_precision=grad_precision, proj_precision=proj_precision,
+        remat=remat)
+    # Per-factor prior Choleskys (L, M, M) — the trainable-kernel
+    # MGGP/NSF configuration — take the W-form path: (Lzz, W = Lzz⁻¹)
+    # from ONE combined custom-VJP op, the KL trace as ‖W·Lu‖²_F, the
+    # chunk projection as a = W·Kzx with colsum((Cᵀa)²), C = W·Lu.
+    # No K⁻¹ is ever built: at full MGGP scale the (20, 3010, 3010)
+    # K⁻¹ = WᵀW product and its backward dominated the step
+    # (benchmarks/mggp_anatomy.py: 118 ms fwd of a 1025 ms step).
+    w_form = pol.w_form
+    with jax.default_matmul_precision("highest"):
         if w_form:
-            if grad_precision is None:
-                grad_precision = ("default" if gp.jitter >= 1e-2
-                                  else "highest")
-            # Panel-block the five VJP products only where it measured a
-            # win: 1.22× at a HIGHEST backward (the small-jitter gate),
-            # 0.98× at bf16 where the FLOP skip loses to panel overhead
-            # (docs/PERFORMANCE.md, 2026-08-17 A/B).
+            # bwd_blocked panel-blocks the five VJP products only where
+            # it measured a win: 1.22× at a HIGHEST backward, 0.98× at
+            # bf16 (docs/PERFORMANCE.md, 2026-08-17 A/B).
             lzz, w_inv = cholesky_inverse_mm(
-                kzz, grad_precision, grad_precision == "highest")
+                kzz, pol.grad_precision, pol.bwd_blocked)
         else:
             # matmul-form Cholesky VJP: with trainable kernels the
             # backward through chol(Kzz) is two ~6 TF/s batched solves in
@@ -237,15 +244,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # Projection-form gate (see the derivation comment below): the
     # single-matmul K⁻¹Kzx subtrahend is O(κ²ε) worst-case vs the
     # norm-squared form's O(κε), so small-jitter configs take the stable
-    # two-sided form. ``stable_projection`` overrides the static
-    # jitter-based auto-gate (advisor round 2: a large-amplitude kernel
-    # can be ill-conditioned relative to its scale even at jitter ≥ 1e-2
-    # — callers who know their conditioning can force the stable form).
-    stable_proj = bool(
-        whitened
-        or (gp.jitter < 1e-2 if stable_projection is None
-            else stable_projection)
-    )
+    # two-sided form (policy table; ``stable_projection`` overrides).
+    stable_proj = pol.stable_projection
     # W = Lzz⁻¹ via the blocked triangular inverse — computed at most ONCE
     # and shared between the KL's K⁻¹ = WᵀW and the per-chunk projections.
     # (The w_form path above already holds W and never forms K⁻¹.)
@@ -289,9 +289,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         # ~1e-4 of a trace-scale term — absolute noise on a 1e8 loss)
         # and the chunk variance term; the mean path (wmu, m_fac) stays
         # HIGHEST like the projection's mean contraction.
-        pp_c = proj_precision or ("high" if gp.jitter >= 1e-2
-                                  else "highest")
-        with jax.default_matmul_precision(pp_c):
+        with jax.default_matmul_precision(pol.proj_precision):
             c_wlu = tri_tri_matmul(w_inv, lu_l)
         with jax.default_matmul_precision("highest"):
             wmu = jnp.einsum("lij,lj->li", w_inv, mu_l)
@@ -448,9 +446,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             # (rel err ~4e-3) is ruled out by arithmetic, while HIGH
             # keeps it ~1e-3 and measured the held-out deviance
             # identical (31.5419) at 100 ms/step less than HIGHEST.
-            pp = proj_precision or ("high" if gp.jitter >= 1e-2
-                                    else "highest")
-            with jax.default_matmul_precision(pp):
+            with jax.default_matmul_precision(pol.proj_precision):
                 a = tri_matmul(w_inv, kzx)  # (L, M, mb)
             # named for the selective-remat policy below: saving a (and
             # the Kzx it came from) trades ~2 HBM-resident (L, M, mb)
@@ -528,25 +524,9 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # (L, M, mb) buffer, skips the big-matmul recompute) — a = W·Kzx on
     # the w_form path, a/ã on every other factored branch (all tagged
     # "proj_a"); "save_proj_kzx" additionally keeps the Gram columns
-    # (+2 buffers, also skips the Gram recompute).
-    if isinstance(remat, str) and remat not in ("save_proj",
-                                                "save_proj_kzx"):
-        # any other non-empty string would silently fall through to
-        # full remat below — a typo must not select the wrong policy
-        raise ValueError(
-            f"remat={remat!r}: expected True, False, 'save_proj' or "
-            "'save_proj_kzx'")
-    if remat in ("save_proj", "save_proj_kzx"):
-        names = (("proj_a",) if remat == "save_proj"
-                 else ("proj_a", "proj_kzx"))
-        chunk_fn = jax.checkpoint(
-            chunk_ll,
-            policy=jax.checkpoint_policies.save_only_these_names(*names),
-        )
-    elif remat:
-        chunk_fn = jax.checkpoint(chunk_ll)
-    else:
-        chunk_fn = chunk_ll
+    # (+2 buffers, also skips the Gram recompute). Validated + applied
+    # by the policy (train/policy.py).
+    chunk_fn = pol.wrap_remat(chunk_ll)
 
     def body(carry, inp):
         return carry + chunk_fn(*inp), None
