@@ -136,6 +136,25 @@ for _ in range(2):
     m_state, m_loss = m_step(m_state, mX, mY)
     mggp_losses.append(float(m_loss))
 
+# VNNGP fast loss across the two processes (top-K neighbor conditioning
+# under DP sharding; reuses the MGGP section's coords/counts) -------------
+from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched  # noqa: E402
+
+v_model = gz.VNNGPConfig(D=8, N=256, L=2, M=32, K=4).build(
+    jax.random.PRNGKey(31), X=jnp.asarray(m_coords))
+v_step = make_sharded_batched_train_step(
+    vnngp_nsf_negative_elbo_batched, optax.adam(1e-3), num_points=256,
+    batch_size=32, mesh=mesh, axis_name=("hosts", "data"),
+    static_kwargs={"E": 1, "shared_kernel": True},
+)
+v_state = replicate(mesh, TrainState.create(v_model, optax.adam(1e-3),
+                                            jax.random.PRNGKey(32)))
+vnngp_losses = []
+for _ in range(2):
+    v_state, v_loss = v_step(v_state, mX, mY)
+    vnngp_losses.append(float(v_loss))
+
 print(json.dumps({"proc": proc_id, "losses": losses, "ckpt_ok": ckpt_ok,
-                  "mggp_losses": mggp_losses}),
+                  "mggp_losses": mggp_losses,
+                  "vnngp_losses": vnngp_losses}),
       flush=True)

@@ -427,6 +427,23 @@ def test_two_process_distributed(tmp_path):
                                  jnp.asarray(m_counts))
         ref_mggp.append(float(m_loss))
 
+    # VNNGP reference, mirrored by the child (same coords/counts as MGGP)
+    from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
+
+    v_model = gz.VNNGPConfig(D=8, N=256, L=2, M=32, K=4).build(
+        jax.random.PRNGKey(31), X=jnp.asarray(m_coords))
+    v_step = make_batched_train_step(
+        vnngp_nsf_negative_elbo_batched, optax.adam(1e-3), num_points=256,
+        batch_size=32, static_kwargs={"E": 1, "shared_kernel": True},
+    )
+    v_state = TrainState.create(v_model, optax.adam(1e-3),
+                                jax.random.PRNGKey(32))
+    ref_vnngp = []
+    for _ in range(2):
+        v_state, v_loss = v_step(v_state, jnp.asarray(m_coords),
+                                 jnp.asarray(m_counts))
+        ref_vnngp.append(float(v_loss))
+
     # --- two coordinated child processes ---------------------------------
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -459,6 +476,13 @@ def test_two_process_distributed(tmp_path):
         for got, want in zip(rec["mggp_losses"], ref_mggp):
             assert got == pytest.approx(want, rel=1e-9), (
                 rec, ref_mggp
+            )
+        # 1e-8: GSPMD repartitions the M×M solve inside the VNNGP
+        # conditioning (same roundoff class as
+        # test_sharded_vnngp_fast_loss_matches)
+        for got, want in zip(rec["vnngp_losses"], ref_vnngp):
+            assert got == pytest.approx(want, rel=1e-8), (
+                rec, ref_vnngp
             )
     # both checkpoint shard files exist (the multi-process layout)
     assert os.path.exists(str(tmp_path / "dist_ckpt.shard0"))

@@ -339,9 +339,12 @@ def test_posterior_snapshot_hook(key, nsf_data, tmp_path):
     assert list(data["steps"]) == [10, 20]
 
 
-def test_checkpoint_hook_rotates_and_resumes(key, nsf_data, tmp_path):
+@pytest.mark.parametrize("async_save", [True, False])
+def test_checkpoint_hook_rotates_and_resumes(key, nsf_data, tmp_path,
+                                             async_save):
     """CheckpointHook: periodic saves via the on_chunk slot, rotation to
-    `keep` files, and a `.latest` that resumes bit-identically."""
+    `keep` files, and a `.latest` that resumes bit-identically — in both
+    the async (single-process default) and synchronous modes."""
     from gpzoo_tpu.train.checkpoint import CheckpointHook
 
     X, Y = nsf_data
@@ -352,10 +355,12 @@ def test_checkpoint_hook_rotates_and_resumes(key, nsf_data, tmp_path):
         negative_elbo_batched, opt, num_points=300, batch_size=64,
         static_kwargs={"E": 1},
     )
-    hook = CheckpointHook(str(tmp_path / "run"), every=1, keep=2)
+    hook = CheckpointHook(str(tmp_path / "run"), every=1, keep=2,
+                          async_save=async_save)
     runner = make_scan_runner(step, 5, on_chunk=hook)
     for _ in range(4):
         state, losses = runner(state, X, Y)
+    hook.wait()  # flush the in-flight async write before reading files
     import glob as _glob
 
     tagged = sorted(_glob.glob(str(tmp_path / "run.step*")))
@@ -471,6 +476,7 @@ def test_checkpoint_rotation_is_prefix_safe(key, nsf_data, tmp_path):
     for step in range(5, 61, 5):
         hook.keep = 10 if step <= 55 else 1  # force rotation at the end
         hook(state.replace(step=jnp.asarray(step)), None)
+    hook.wait()
     import glob as _glob
 
     remaining = sorted(_glob.glob(str(tmp_path / "run.step*")))
@@ -479,3 +485,117 @@ def test_checkpoint_rotation_is_prefix_safe(key, nsf_data, tmp_path):
     template = make_restore_template(state)
     restored = restore_checkpoint(hook.latest_path, template)
     assert int(restored.step) == 60
+
+
+def test_async_checkpoint_matches_sync_and_survives_donation(
+        key, nsf_data, tmp_path):
+    """AsyncCheckpointer must write the exact state at the save call even
+    when the live state's buffers are immediately donated into further
+    training steps (the on-device snapshot is donation-safe), and the
+    resumed trajectory must be bit-identical to a sync-save resume."""
+    from gpzoo_tpu.train import AsyncCheckpointer
+
+    X, Y = nsf_data
+    model = _build(key, X)
+    opt = optax.adam(1e-3)
+    state = TrainState.create(model, opt, key)
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=300, batch_size=64,
+        static_kwargs={"E": 1},
+    )
+    runner = make_scan_runner(step, 3, donate=True)
+    state, _ = runner(state, X, Y)
+
+    p_sync = str(tmp_path / "sync.msgpack")
+    p_async = str(tmp_path / "async.msgpack")
+    save_checkpoint(p_sync, state)
+    ck = AsyncCheckpointer()
+    ck.save(p_async, state)
+    # stress: donate the live buffers into more steps while the write
+    # drains — the snapshot must be unaffected
+    state, losses_live = runner(state, X, Y)
+    ck.wait()
+
+    template = make_restore_template(state)
+    r_sync = restore_checkpoint(p_sync, template)
+    r_async = restore_checkpoint(p_async, template)
+    for a, b in zip(jax.tree_util.tree_leaves(r_sync),
+                    jax.tree_util.tree_leaves(r_async)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume contract: the async-saved state continues the exact
+    # trajectory the live (donating) run produced
+    _, losses_resumed = runner(r_async, X, Y)
+    np.testing.assert_array_equal(np.asarray(losses_live),
+                                  np.asarray(losses_resumed))
+
+
+def test_async_checkpoint_wait_reraises(key, nsf_data, tmp_path):
+    """A failed background write must surface at wait() (or the next
+    save), never pass silently."""
+    from gpzoo_tpu.train import AsyncCheckpointer
+
+    X, _ = nsf_data
+    model = _build(key, X)
+    state = TrainState.create(model, optax.adam(1e-3), key)
+    ck = AsyncCheckpointer()
+    ck.save(str(tmp_path / "no_such_dir" / "ck.msgpack"), state)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        ck.wait()
+    # the checkpointer stays usable after a failure
+    ck.save(str(tmp_path / "ok.msgpack"), state)
+    ck.wait()
+    restored = restore_checkpoint(str(tmp_path / "ok.msgpack"),
+                                  make_restore_template(state))
+    assert int(restored.step) == int(state.step)
+
+
+def test_async_checkpoint_crash_leaves_only_tmp(key, nsf_data, tmp_path):
+    """Atomicity across the async boundary: a write interrupted before
+    os.replace leaves `<path>.tmp` only; a previously completed
+    checkpoint at the same path is untouched and still restores."""
+    from gpzoo_tpu.train import AsyncCheckpointer
+    from gpzoo_tpu.train import checkpoint as ckpt_mod
+
+    X, _ = nsf_data
+    model = _build(key, X)
+    state = TrainState.create(model, optax.adam(1e-3), key)
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, state)  # the good previous checkpoint
+
+    bumped = state.replace(step=jnp.asarray(999))
+    orig_replace = ckpt_mod.os.replace
+
+    def crash(*a, **k):
+        raise OSError("simulated crash between async write and replace")
+
+    ck = AsyncCheckpointer()
+    ckpt_mod.os.replace = crash
+    try:
+        ck.save(path, bumped)
+        with pytest.raises(RuntimeError):
+            ck.wait()
+    finally:
+        ckpt_mod.os.replace = orig_replace
+    # the interrupted write left the .tmp, not a corrupt checkpoint
+    assert ckpt_mod.os.path.exists(path + ".tmp")
+    restored = restore_checkpoint(path, make_restore_template(state))
+    assert int(restored.step) == int(state.step)  # the OLD save
+
+
+def test_restore_rejects_ambiguous_layouts(key, nsf_data, tmp_path):
+    """Both a single-file checkpoint AND .shard* files under one name
+    (a run that changed process count) must fail loudly, not silently
+    prefer one layout (advisor round 3)."""
+    from flax import serialization
+
+    X, _ = nsf_data
+    model = _build(key, X)
+    state = TrainState.create(model, optax.adam(1e-3), key)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state)
+    flat, _ = jax.tree_util.tree_flatten(state)
+    local = {f"{i}|": np.asarray(leaf) for i, leaf in enumerate(flat)}
+    with open(path + ".shard0", "wb") as f:
+        f.write(serialization.msgpack_serialize(local))
+    with pytest.raises(ValueError, match="ambiguous"):
+        restore_checkpoint(path, make_restore_template(state))
