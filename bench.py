@@ -139,23 +139,49 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
     best = chunk / min(times)
 
     if checkpoint:
-        # Checkpoint/resume at north-star scale (round-2 verdict item 7):
-        # save the live TrainState (~2.9 GB at full scale), run one more
-        # chunk, restore, re-run the same chunk — the deterministic-resume
-        # contract (train/checkpoint.py) demands bit-identical losses.
-        from gpzoo_tpu.train.checkpoint import (make_restore_template,
-                                                restore_checkpoint,
-                                                save_checkpoint)
+        # Checkpoint/resume at north-star scale: ASYNC save of the live
+        # TrainState (~2.2 GB at full scale) — the step stream stalls
+        # only for the on-device snapshot; serialization + write drain
+        # on the background thread WHILE the next training chunk runs.
+        # Then restore and re-run the same chunk — the deterministic-
+        # resume contract (train/checkpoint.py) demands bit-identical
+        # losses. (The synchronous save measured 96.5 s at this size —
+        # ~2,350 training steps lost per save; see docs/PERFORMANCE.md.)
+        from gpzoo_tpu.train.checkpoint import (AsyncCheckpointer,
+                                                make_restore_template,
+                                                restore_checkpoint)
 
         template = make_restore_template(state)
+        ck = AsyncCheckpointer()
+        # save twice: the first pays the one-time snapshot-program
+        # compile; the second is the steady-state stall.
         t0 = time.perf_counter()
-        save_checkpoint(checkpoint, state)
-        sz = os.path.getsize(checkpoint) / 1e9
-        log(f"checkpoint saved: {sz:.2f} GB in "
-            f"{time.perf_counter()-t0:.1f}s -> {checkpoint}")
-        # live continuation (donates `state`)
+        ck.save(checkpoint, state)
+        stall_first = time.perf_counter() - t0
+        ck.wait()
+        t0 = time.perf_counter()
+        ck.save(checkpoint, state)
+        stall = time.perf_counter() - t0
+        log(f"async save stall: {stall:.2f}s steady-state "
+            f"({stall_first:.2f}s first call incl. snapshot compile)")
+        # live continuation (donates `state`) overlapping the write
+        t0 = time.perf_counter()
         _, losses_live = runner(state, *step_args)
         losses_live = np.asarray(jax.device_get(losses_live))
+        overlap_chunk = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ck.wait()
+        log(f"write drained {time.perf_counter()-t0:.1f}s after the "
+            f"overlapped chunk ({overlap_chunk:.1f}s vs "
+            f"{min(times):.1f}s unoverlapped)")
+        if os.path.exists(checkpoint):
+            sz = os.path.getsize(checkpoint) / 1e9
+        else:  # multi-process layout writes only <path>.shard<p>
+            import glob as _glob
+            sz = sum(os.path.getsize(p) for p in
+                     _glob.glob(_glob.escape(checkpoint) + ".shard*")
+                     if not p.endswith(".tmp")) / 1e9
+        log(f"checkpoint on disk: {sz:.2f} GB -> {checkpoint}")
         t0 = time.perf_counter()
         restored = restore_checkpoint(checkpoint, template)
         log(f"checkpoint restored in {time.perf_counter()-t0:.1f}s")
@@ -268,6 +294,39 @@ def run_vnngp_bench(chunk, chunks, quick=False):
         log(f"chunk {c}: {times[-1]:.3f}s -> {chunk/times[-1]:.1f} steps/s")
     rate = chunk / min(times)
 
+    # Frozen-Z/frozen-kernel configuration (the committed reproduction
+    # of the fewer-trainables training rate): the conditioning geometry
+    # — Gram, Cholesky, top-K, K×K solves, K⁻¹ — hoists out entirely
+    # (train/fast_vnngp.py); per step only the mu/Lu/W/V terms remain.
+    from gpzoo_tpu.train.fast_vnngp import (
+        precompute_vnngp_conditioning, vnngp_nsf_negative_elbo_precomputed)
+
+    t0 = time.perf_counter()
+    cond = precompute_vnngp_conditioning(state.model, x)
+    log(f"precomputed conditioning geometry in "
+        f"{time.perf_counter()-t0:.2f}s")
+    state_pre = TrainState.create(state.model, opt, key)
+    step_pre = make_batched_train_step(
+        vnngp_nsf_negative_elbo_precomputed, opt, num_points=N,
+        batch_size=batch, static_kwargs={"E": 1, "y_transposed": True},
+    )
+    runner_pre = make_scan_runner(step_pre, chunk, donate=True)
+    t0 = time.perf_counter()
+    state_pre, losses = runner_pre(state_pre, cond, y_t)
+    jax.block_until_ready(losses)
+    log(f"frozen path compile+warmup: {time.perf_counter()-t0:.1f}s "
+        f"loss[-1]={float(losses[-1]):.4e}")
+    assert np.all(np.isfinite(np.asarray(losses)))
+    times_pre = []
+    for c in range(chunks):
+        t0 = time.perf_counter()
+        state_pre, losses = runner_pre(state_pre, cond, y_t)
+        jax.block_until_ready(losses)
+        times_pre.append(time.perf_counter() - t0)
+        log(f"frozen chunk {c}: {times_pre[-1]:.3f}s -> "
+            f"{chunk/times_pre[-1]:.1f} steps/s")
+    rate_frozen = chunk / min(times_pre)
+
     # full-100k posterior forward (the Pallas SoA K×K conditioning)
     from gpzoo_tpu.predict import latent_posterior
 
@@ -285,20 +344,23 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     post_s = (time.perf_counter() - t0) / 3
     log(f"full-100k posterior forward: {post_s:.3f}s "
         f"(Pallas SoA conditioning)")
-    return rate, post_s
+    return rate, rate_frozen, post_s
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="small shapes (CI / smoke)")
-    p.add_argument("--workload", choices=("nsf", "mggp", "vnngp"),
-                   default="nsf",
-                   help="'nsf' = the north-star Slideseq NSF bench; "
-                        "'mggp' = the full-scale MGGP-NSF workload "
-                        "(trainable per-factor kernels, W-form path); "
-                        "'vnngp' = the 100k-spot nearest-neighbor GP "
-                        "target (SURVEY §5)")
+    p.add_argument("--workload", choices=("all", "nsf", "mggp", "vnngp"),
+                   default="all",
+                   help="'all' (default — what the driver runs) = the "
+                        "NSF north star plus short full-scale MGGP and "
+                        "VNNGP measurements, one JSON line with all "
+                        "three; 'nsf' = the north-star Slideseq NSF "
+                        "bench alone; 'mggp' = the full-scale MGGP-NSF "
+                        "workload (trainable per-factor kernels, W-form "
+                        "path); 'vnngp' = the 100k-spot nearest-neighbor "
+                        "GP target (SURVEY §5)")
     p.add_argument("--steps-per-chunk", type=int, default=20)
     p.add_argument("--chunks", type=int, default=3)
     p.add_argument("--microbatch", type=int, default=None)
@@ -325,8 +387,8 @@ def main():
         import pallas_ab
         sys.exit(pallas_ab.main(["--no-time"] if args.quick else []))
 
-    if args.checkpoint and args.workload != "nsf":
-        p.error("--checkpoint is only supported for --workload nsf "
+    if args.checkpoint and args.workload not in ("nsf", "all"):
+        p.error("--checkpoint is only supported for the nsf workload "
                 "(the north-star-scale resume contract)")
 
     if args.workload == "mggp":
@@ -343,15 +405,16 @@ def main():
         return
 
     if args.workload == "vnngp":
-        value, post_s = run_vnngp_bench(chunk=args.steps_per_chunk,
-                                        chunks=args.chunks,
-                                        quick=args.quick)
+        value, frozen, post_s = run_vnngp_bench(chunk=args.steps_per_chunk,
+                                                chunks=args.chunks,
+                                                quick=args.quick)
         print(json.dumps({
             "metric": ("vnngp_10k_quick_steps_per_sec" if args.quick
                        else "vnngp_100k_steps_per_sec"),
             "value": round(value, 3),
             "unit": "steps/s",
             "vs_baseline": None,
+            "frozen_steps_per_sec": round(frozen, 3),
             "full_posterior_seconds": round(post_s, 3),
         }))
         return
@@ -381,13 +444,32 @@ def main():
             log(f"reference (torch CPU, this host): {base:.4f} steps/s "
                 f"→ speedup {vs_baseline:.1f}x")
 
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "val_poisson_deviance": round(val_dev, 4),
-    }))
+    }
+    if args.workload == "all":
+        # Certify the other two headline workloads in the same driver
+        # run (round-3 verdict item 1): a handful of full-scale MGGP
+        # steps after warmup and the VNNGP 100k CLI, their rates carried
+        # on the one JSON line. Short chunks — the MGGP step is ~380 ms.
+        import gc
+
+        gc.collect()  # drop the NSF run's device buffers before MGGP
+        log("=== MGGP-NSF full-scale (short certification run) ===")
+        mggp_rate = run_mggp_bench(chunk=6, chunks=2, quick=args.quick)
+        out["mggp_steps_per_sec"] = round(mggp_rate, 3)
+        gc.collect()
+        log("=== VNNGP 100k (short certification run) ===")
+        vnngp_rate, vnngp_frozen, post_s = run_vnngp_bench(
+            chunk=30, chunks=2, quick=args.quick)
+        out["vnngp_steps_per_sec"] = round(vnngp_rate, 3)
+        out["vnngp_frozen_steps_per_sec"] = round(vnngp_frozen, 3)
+        out["vnngp_full_posterior_seconds"] = round(post_s, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

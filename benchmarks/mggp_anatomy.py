@@ -90,7 +90,8 @@ def build(scale=1.0, seed=0):
 
 def measure_step(cfg, model, x, y_t, g, chunk=8, chunks=3,
                  remat="save_proj", grad_precision="default",
-                 proj_precision="high", deviance=False):
+                 proj_precision="high", chol_precision=None,
+                 deviance=False):
     """Full train step via the production fast path (groups threaded)."""
     from gpzoo_tpu.train import (TrainState, freeze_loss,
                                  make_batched_train_step, make_scan_runner,
@@ -109,7 +110,8 @@ def measure_step(cfg, model, x, y_t, g, chunk=8, chunks=3,
                        "y_transposed": True, "factored": True,
                        "groups": g, "remat": remat,
                        "grad_precision": grad_precision,
-                       "proj_precision": proj_precision},
+                       "proj_precision": proj_precision,
+                       "chol_precision": chol_precision},
     )
     runner = make_scan_runner(step, chunk, donate=True)
     t0 = time.perf_counter()
@@ -304,6 +306,10 @@ def main(argv=None):
                    help="comma-separated list to A/B (highest,default)")
     p.add_argument("--proj-precision", default="high",
                    help="comma-separated list to A/B (highest,high,default)")
+    p.add_argument("--chol-precision", default="highest",
+                   help="comma-separated list to A/B the hoisted "
+                        "Cholesky/W VALUE path (highest,high) — the "
+                        "round-4 probe of the HIGHEST value path")
     p.add_argument("--deviance", action="store_true")
     args = p.parse_args(argv)
 
@@ -315,20 +321,24 @@ def main(argv=None):
     if not args.components_only:
         for gp_setting in args.grad_precision.split(","):
             for pp_setting in args.proj_precision.split(","):
-                log(f"-- grad_precision={gp_setting} "
-                    f"proj_precision={pp_setting} --")
-                # fresh buffers per leg: the scan runner donates the
-                # state, which shares the model's device arrays
-                model_leg = jax.tree_util.tree_map(
-                    lambda a: jnp.copy(a) if hasattr(a, "dtype") else a,
-                    model)
-                remat = {"True": True, "False": False}.get(
-                    args.remat, args.remat)
-                measure_step(cfg, model_leg, x, y_t, g, chunk=args.chunk,
-                             chunks=args.chunks, remat=remat,
-                             grad_precision=gp_setting,
-                             proj_precision=pp_setting,
-                             deviance=args.deviance)
+                for cp_setting in args.chol_precision.split(","):
+                    log(f"-- grad_precision={gp_setting} "
+                        f"proj_precision={pp_setting} "
+                        f"chol_precision={cp_setting} --")
+                    # fresh buffers per leg: the scan runner donates the
+                    # state, which shares the model's device arrays
+                    model_leg = jax.tree_util.tree_map(
+                        lambda a: jnp.copy(a) if hasattr(a, "dtype")
+                        else a, model)
+                    remat = {"True": True, "False": False}.get(
+                        args.remat, args.remat)
+                    measure_step(cfg, model_leg, x, y_t, g,
+                                 chunk=args.chunk,
+                                 chunks=args.chunks, remat=remat,
+                                 grad_precision=gp_setting,
+                                 proj_precision=pp_setting,
+                                 chol_precision=cp_setting,
+                                 deviance=args.deviance)
     if not args.steps_only:
         if not args.components_only:
             # the scan runner donated the state (the model's buffers are

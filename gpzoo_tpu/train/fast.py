@@ -91,39 +91,17 @@ def _collapse_shared_kernel(kernel):
     )
 
 
-def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
-                                    unnormalized=True, shared_kernel=False,
-                                    y_transposed=False):
-    """Fast minibatch −ELBO for NSF over a VNNGP prior — same value as the
-    generic path, with the per-step (L, M, M) work collapsed:
+def __getattr__(name):
+    # back-compat: the VNNGP fast paths moved to train/fast_vnngp.py
+    # (round-3 verdict item 8 — splitting this module). Lazy so the two
+    # modules never import each other at top level.
+    if name in ("vnngp_nsf_negative_elbo_batched",
+                "vnngp_nsf_negative_elbo_precomputed",
+                "precompute_vnngp_conditioning", "VNNGPConditioning"):
+        from gpzoo_tpu.train import fast_vnngp
 
-    * ``shared_kernel=True`` (equal per-factor hyperparameters) computes
-      one (M, M) Gram/Cholesky instead of L,
-    * the KL uses :func:`_matmul_kl` (no batched M×M triangular solves),
-    * the per-point K×K conditioning dispatches to the Pallas
-      structure-of-arrays kernel on TPU (see gps/vnngp.py).
-
-    The VNNGP conditioning itself is already O(B·K³) — no spot-axis
-    microbatching needed.
-    """
-    gp = model.prior if hasattr(model, "prior") else model.gp
-    if shared_kernel:
-        gp = gp.replace(kernel=_collapse_shared_kernel(gp.kernel))
-
-    qf, qu, pu = gp(x[idx])
-    f = qf.sample(key, (E,))
-    rate = softplus(model.V_raw[idx]) * jnp.einsum(
-        "dl,...ln->...dn", softplus(model.W_raw), jnp.exp(f)
-    )
-    py = dists.Poisson(rate)
-    yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
-    lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
-    ll = jnp.sum(jnp.mean(lp, axis=0))
-
-    # matmul-form KL for shared AND per-factor prior Choleskys (the
-    # blocked-inverse K⁻¹ replaces the batched triangular solves)
-    kl, _ = _matmul_kl(qu.loc, qu.scale_tril, pu.scale_tril)
-    return -(ll - kl)
+        return getattr(fast_vnngp, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
@@ -131,7 +109,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               factored=False, y_transposed=False,
                               shared_kernel=False, groups=None,
                               remat=True, stable_projection=None,
-                              grad_precision=None, proj_precision=None):
+                              grad_precision=None, proj_precision=None,
+                              chol_precision=None):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
 
@@ -216,7 +195,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         per_factor_chol=kzz.ndim == 3,
         stable_projection=stable_projection,
         grad_precision=grad_precision, proj_precision=proj_precision,
-        remat=remat)
+        remat=remat, chol_precision=chol_precision)
     # Per-factor prior Choleskys (L, M, M) — the trainable-kernel
     # MGGP/NSF configuration — take the W-form path: (Lzz, W = Lzz⁻¹)
     # from ONE combined custom-VJP op, the KL trace as ‖W·Lu‖²_F, the
@@ -225,7 +204,9 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # K⁻¹ = WᵀW product and its backward dominated the step
     # (benchmarks/mggp_anatomy.py: 118 ms fwd of a 1025 ms step).
     w_form = pol.w_form
-    with jax.default_matmul_precision("highest"):
+    # chol_precision: the hoisted VALUE path (Cholesky, W = Lzz⁻¹).
+    # HIGHEST unless a measured A/B overrides (policy.py docstring).
+    with jax.default_matmul_precision(pol.chol_precision):
         if w_form:
             # bwd_blocked panel-blocks the five VJP products only where
             # it measured a win: 1.22× at a HIGHEST backward, 0.98× at

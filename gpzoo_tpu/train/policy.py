@@ -49,6 +49,12 @@ class FastPathPolicy:
     proj_precision: str
     bwd_blocked: bool
     remat: object  # True | False | "save_proj" | "save_proj_kzx"
+    # matmul precision of the hoisted Cholesky/W=Lzz⁻¹ VALUE path.
+    # Default HIGHEST: unlike the variance-only paths, W feeds the
+    # posterior MEAN (Wμ → K⁻¹μ → exp-rate) where errors pass through
+    # exp unsquared. Overridable for the measured A/B
+    # (docs/PERFORMANCE.md, MGGP section).
+    chol_precision: str = "highest"
 
     def wrap_remat(self, chunk_fn):
         """Apply the rematerialization policy to the per-chunk body."""
@@ -67,7 +73,8 @@ class FastPathPolicy:
 
 def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
                    stable_projection=None, grad_precision=None,
-                   proj_precision=None, remat=True):
+                   proj_precision=None, remat=True,
+                   chol_precision=None):
     """Resolve the fast path's static knobs (see the module table).
 
     ``per_factor_chol``: the post-collapse prior Cholesky is (L, M, M)
@@ -99,4 +106,5 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
         proj_precision=proj_precision,
         bwd_blocked=grad_precision == "highest",
         remat=remat,
+        chol_precision=chol_precision or "highest",
     )

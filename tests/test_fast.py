@@ -521,6 +521,7 @@ def test_wform_knobs_value_identical(key, rng):
         {"remat": False},
         {"grad_precision": "default", "proj_precision": "high"},
         {"grad_precision": "highest", "proj_precision": "highest"},
+        {"chol_precision": "high"},
     ):
         v, g = jax.value_and_grad(
             lambda m: loss(m, **kw), allow_int=True)(model)
@@ -532,3 +533,58 @@ def test_wform_knobs_value_identical(key, rng):
             if np.asarray(b).dtype.kind == "f" else None,
             g, ref_g,
         )
+
+
+def test_vnngp_precomputed_matches_generic(key, rng):
+    """Frozen-Z/frozen-kernel VNNGP: the precomputed-conditioning loss
+    (train/fast_vnngp.py) equals the generic path in value and
+    trainable-leaf gradients — shared AND per-factor mu/Lu layouts."""
+    from gpzoo_tpu.train.fast_vnngp import (
+        precompute_vnngp_conditioning,
+        vnngp_nsf_negative_elbo_precomputed,
+    )
+
+    N, D, L, M, K = 250, 10, 3, 24, 4
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    idx = jax.random.choice(jax.random.PRNGKey(6), N, (64,), replace=False)
+
+    for per_factor in (False, True):
+        model = gz.VNNGPConfig(D=D, N=N, L=L, M=M, K=K).build(
+            jax.random.PRNGKey(0), X=x)
+        if per_factor:
+            gp = model.prior.replace(
+                mu=jax.random.normal(key, (L, M)),
+                Lu_raw=0.3 * jax.random.normal(key, (L, M, M)))
+            model = gz.models.NSF.create(key, gp, D=D, N=N, L=L)
+        cond = precompute_vnngp_conditioning(model, x)
+        for E in (1, 2):
+            ref = negative_elbo_batched(model, x, y, idx, key, E=E)
+            pre = vnngp_nsf_negative_elbo_precomputed(model, cond, y, idx,
+                                                      key, E=E)
+            assert float(pre) == pytest.approx(float(ref), rel=1e-9), (
+                per_factor, E)
+        # y_transposed layout (the bench stores counts spot-major)
+        pre_t = vnngp_nsf_negative_elbo_precomputed(
+            model, cond, jnp.swapaxes(y, 0, 1), idx, key, E=1,
+            y_transposed=True)
+        ref1 = negative_elbo_batched(model, x, y, idx, key, E=1)
+        assert float(pre_t) == pytest.approx(float(ref1), rel=1e-9)
+
+        g_ref = jax.grad(
+            lambda m: negative_elbo_batched(m, x, y, idx, key, E=2)
+        )(model)
+        g_pre = jax.grad(
+            lambda m: vnngp_nsf_negative_elbo_precomputed(
+                m, cond, y, idx, key, E=2)
+        )(model)
+        for name, a, b in (
+            ("mu", g_ref.prior.mu, g_pre.prior.mu),
+            ("Lu_raw", g_ref.prior.Lu_raw, g_pre.prior.Lu_raw),
+            ("W_raw", g_ref.W_raw, g_pre.W_raw),
+            ("V_raw", g_ref.V_raw, g_pre.V_raw),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-7, atol=1e-10,
+                                       err_msg=f"{name} pf={per_factor}")

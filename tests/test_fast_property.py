@@ -127,3 +127,61 @@ def test_random_flag_combination_matches_generic(cfg, rng):
             np.asarray(b), a, rtol=1e-6,
             atol=1e-9 * max(float(np.max(np.abs(a))), 1.0),
             err_msg=f"{path} under {cfg}")
+
+
+@pytest.mark.parametrize("per_factor", [False, True])
+@pytest.mark.parametrize("shared_kernel", [False, True])
+@pytest.mark.parametrize("E", [1, 2])
+def test_vnngp_flag_grid_matches_generic(rng, per_factor, shared_kernel, E):
+    """Full small grid for the VNNGP fast loss — incl. the degenerate
+    shared-mu layout (the VNNGPConfig default and the 100k bench
+    configuration). Regression: under shared_kernel=True the collapsed
+    marginal used to lose the factor axis — one shared noise draw
+    broadcast over all L factors and the KL counted once instead of L
+    times (silently at E=1, a shape error at E>1) — so the round-3
+    VNNGP bench trained a mis-specified objective."""
+    from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
+
+    K = 4
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    key = jax.random.PRNGKey(13)
+    model = gz.VNNGPConfig(D=D, N=N, L=L, M=M, K=K).build(
+        jax.random.PRNGKey(5), X=x)
+    if per_factor:
+        gp = model.prior
+        gp = gp.replace(
+            mu=0.3 * jax.random.normal(jax.random.PRNGKey(6), (L, M)),
+            Lu_raw=0.3 * jax.random.normal(jax.random.PRNGKey(7),
+                                           (L, M, M)))
+        model = gz.models.NSF.create(jax.random.PRNGKey(8), gp,
+                                     D=D, N=N, L=L)
+    idx = jax.random.choice(jax.random.PRNGKey(2), N, (B,), replace=False)
+
+    def ref_loss(m):
+        return negative_elbo_batched(m, x, y, idx, key, E=E)
+
+    def fast_loss(m):
+        return vnngp_nsf_negative_elbo_batched(
+            m, x, y, idx, key, E=E, shared_kernel=shared_kernel)
+
+    ref_v, ref_g = jax.value_and_grad(ref_loss)(model)
+    v, g = jax.value_and_grad(fast_loss)(model)
+    assert float(v) == pytest.approx(float(ref_v), rel=1e-9)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(ref_g),
+                            jax.tree_util.tree_leaves(g)):
+        a = np.asarray(a)
+        if a.dtype.kind != "f":
+            continue
+        is_kernel_leaf = any(
+            getattr(k, "name", None) == "kernel" for k in path)
+        if shared_kernel and is_kernel_leaf:
+            np.testing.assert_allclose(
+                float(np.sum(np.asarray(b))), float(np.sum(a)),
+                rtol=1e-6, atol=1e-9, err_msg=f"{path} (summed)")
+            continue
+        np.testing.assert_allclose(
+            np.asarray(b), a, rtol=1e-6,
+            atol=1e-9 * max(float(np.max(np.abs(a))), 1.0),
+            err_msg=str(path))
