@@ -55,9 +55,42 @@ from gpzoo_tpu.ops.tri_blocked import tri_kl_trace
 from gpzoo_tpu.train.fast import _collapse_shared_kernel, _matmul_kl
 
 
+def _solve_kl(mu, lu, lzz):
+    """Σ_l KL(N(μ_l, Lu_l Lu_lᵀ) ‖ N(0, Kzz_l)) via two triangular
+    solves — tr(K⁻¹S) = ‖Lzz⁻¹Lu‖²_F, μᵀK⁻¹μ = ‖Lzz⁻¹μ‖². Minimal op
+    count; see ``kl_form`` in the caller's docstring."""
+    from gpzoo_tpu.ops.linalg import tril_logdet
+
+    m_dim = lzz.shape[-1]
+    lu_l = lu if lu.ndim == 3 else lu[None]
+    mu_l = jnp.atleast_2d(jnp.asarray(mu))
+    if lzz.ndim == 2:
+        # shared Cholesky: ONE folded solve covers all factors' Lu
+        # columns AND mu — (M, l·M + l) rhs
+        el = lu_l.shape[0]
+        rhs = jnp.concatenate(
+            [jnp.moveaxis(lu_l, 0, 1).reshape(m_dim, el * m_dim),
+             mu_l.T], axis=-1)
+        sol = jax.scipy.linalg.solve_triangular(lzz, rhs, lower=True)
+        a = sol[:, :el * m_dim].reshape(m_dim, el, m_dim)
+        trace = jnp.sum(jnp.square(a), axis=(0, 2))  # (l,)
+        maha = jnp.sum(jnp.square(sol[:, el * m_dim:]), axis=0)  # (l,)
+    else:
+        lu_b = jnp.broadcast_to(lu_l, lzz.shape)
+        a = jax.scipy.linalg.solve_triangular(lzz, lu_b, lower=True)
+        trace = jnp.sum(jnp.square(a), axis=(-2, -1))
+        mu_b = jnp.broadcast_to(mu_l, lzz.shape[:-2] + mu_l.shape[-1:])
+        b = jax.scipy.linalg.solve_triangular(lzz, mu_b[..., None],
+                                              lower=True)
+        maha = jnp.sum(jnp.square(b[..., 0]), axis=-1)
+    kl = jnp.sum(0.5 * (trace + maha - m_dim)
+                 + tril_logdet(lzz) - tril_logdet(lu_l))
+    return kl
+
+
 def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                                     unnormalized=True, shared_kernel=False,
-                                    y_transposed=False):
+                                    y_transposed=False, kl_form="matmul"):
     """Fast minibatch −ELBO for NSF over a VNNGP prior — same value as the
     generic path, with the per-step (L, M, M) work collapsed:
 
@@ -66,6 +99,15 @@ def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     * the KL uses :func:`_matmul_kl` (no batched M×M triangular solves),
     * the per-point K×K conditioning dispatches to the Pallas
       structure-of-arrays kernel on TPU (see gps/vnngp.py).
+
+    ``kl_form`` (static): ``"matmul"`` builds K⁻¹ by the blocked
+    triangular-inverse recursion (the right trade at the L-batched
+    M=3000 inducing-point scale, where batched solves run 6 vs 94 TF/s);
+    ``"solve"`` computes the same KL with two triangular solves —
+    ~12 fewer ops per step, which matters at the VNNGP scale (M=1000,
+    one shared Cholesky) where the step is op-count-bound, not
+    FLOP-bound (docs/PERFORMANCE.md VNNGP anatomy). Same value either
+    way (float64-asserted in tests).
 
     The VNNGP conditioning itself is already O(B·K³) — no spot-axis
     microbatching needed.
@@ -101,11 +143,16 @@ def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
     ll = jnp.sum(jnp.mean(lp, axis=0))
 
-    # matmul-form KL for shared AND per-factor prior Choleskys (the
-    # blocked-inverse K⁻¹ replaces the batched triangular solves). The
-    # generic path broadcasts qU against the PRE-collapse L-batched
-    # prior, so with shared parameters it sums L identical copies.
-    kl, _ = _matmul_kl(qu.loc, qu.scale_tril, pu.scale_tril)
+    # KL for shared AND per-factor prior Choleskys. The generic path
+    # broadcasts qU against the PRE-collapse L-batched prior, so with
+    # shared parameters it sums L identical copies.
+    if kl_form == "solve":
+        kl = _solve_kl(qu.loc, qu.scale_tril, pu.scale_tril)
+    elif kl_form == "matmul":
+        kl, _ = _matmul_kl(qu.loc, qu.scale_tril, pu.scale_tril)
+    else:
+        raise ValueError(f"kl_form={kl_form!r}: expected 'matmul' or "
+                         "'solve'")
 
     def _copies(kb):
         n = 1

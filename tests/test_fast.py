@@ -535,6 +535,45 @@ def test_wform_knobs_value_identical(key, rng):
         )
 
 
+def test_vnngp_kl_form_solve_matches(key, rng):
+    """kl_form='solve' (two triangular solves — the op-count-minimal
+    form for the latency-bound VNNGP step) must equal the matmul form
+    and the generic path, values and gradients, shared and per-factor
+    prior Choleskys."""
+    from gpzoo_tpu.train.fast_vnngp import vnngp_nsf_negative_elbo_batched
+
+    N, D, L, M, K = 250, 10, 3, 24, 4
+    coords = rng.uniform(-2, 2, (N, 2))
+    counts = rng.poisson(3.0, (D, N)).astype(np.float64)
+    x, y = jnp.asarray(coords), jnp.asarray(counts)
+    idx = jax.random.choice(jax.random.PRNGKey(6), N, (64,), replace=False)
+    model = gz.VNNGPConfig(D=D, N=N, L=L, M=M, K=K).build(
+        jax.random.PRNGKey(0), X=x)
+
+    for sk in (False, True):
+        ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+
+        def solve_loss(m):
+            return vnngp_nsf_negative_elbo_batched(
+                m, x, y, idx, key, E=2, shared_kernel=sk,
+                kl_form="solve")
+
+        v, g = jax.value_and_grad(solve_loss)(model)
+        assert float(v) == pytest.approx(float(ref), rel=1e-9), sk
+        g_ref = jax.grad(
+            lambda m: negative_elbo_batched(m, x, y, idx, key, E=2)
+        )(model)
+        np.testing.assert_allclose(np.asarray(g.prior.mu),
+                                   np.asarray(g_ref.prior.mu),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(g.prior.Lu_raw),
+                                   np.asarray(g_ref.prior.Lu_raw),
+                                   rtol=1e-6, atol=1e-9)
+    with pytest.raises(ValueError, match="kl_form"):
+        vnngp_nsf_negative_elbo_batched(model, x, y, idx, key,
+                                        kl_form="sovle")
+
+
 def test_vnngp_precomputed_matches_generic(key, rng):
     """Frozen-Z/frozen-kernel VNNGP: the precomputed-conditioning loss
     (train/fast_vnngp.py) equals the generic path in value and
