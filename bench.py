@@ -271,6 +271,52 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     key = jax.random.PRNGKey(0)
     model = gz.VNNGPConfig(D=D, N=N, L=L, M=M, K=K).build(key, X=x)
     opt = optax.adam(5e-3)
+
+    # Frozen-Z/frozen-kernel configuration FIRST, on the pristine model
+    # (the committed reproduction of the fewer-trainables training
+    # rate): the conditioning geometry — Gram, Cholesky, top-K, K×K
+    # solves, K⁻¹ — hoists out entirely (train/fast_vnngp.py); per step
+    # only the mu/Lu/W/V terms remain. The all-trainable leg below
+    # diverges the per-factor hyperparameters (its σ/ℓ gradients route
+    # through factor 0 — the shared_kernel contract), so the frozen
+    # geometry must precompute BEFORE it. The state gets copied buffers:
+    # its runner donates them, and `model` must stay live.
+    from gpzoo_tpu.train.fast_vnngp import (
+        precompute_vnngp_conditioning, vnngp_nsf_negative_elbo_precomputed)
+
+    def copy_model(m):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, m)
+
+    t0 = time.perf_counter()
+    cond = precompute_vnngp_conditioning(model, x)
+    log(f"precomputed conditioning geometry in "
+        f"{time.perf_counter()-t0:.2f}s")
+    state_pre = TrainState.create(copy_model(model), opt, key)
+    step_pre = make_batched_train_step(
+        vnngp_nsf_negative_elbo_precomputed, opt, num_points=N,
+        batch_size=batch, static_kwargs={"E": 1, "y_transposed": True},
+    )
+    runner_pre = make_scan_runner(step_pre, chunk, donate=True)
+    t0 = time.perf_counter()
+    state_pre, losses = runner_pre(state_pre, cond, y_t)
+    jax.block_until_ready(losses)
+    log(f"frozen path compile+warmup: {time.perf_counter()-t0:.1f}s "
+        f"loss[-1]={float(losses[-1]):.4e}")
+    assert np.all(np.isfinite(np.asarray(losses)))
+    times_pre = []
+    for c in range(chunks):
+        t0 = time.perf_counter()
+        state_pre, losses = runner_pre(state_pre, cond, y_t)
+        jax.block_until_ready(losses)
+        times_pre.append(time.perf_counter() - t0)
+        log(f"frozen chunk {c}: {times_pre[-1]:.3f}s -> "
+            f"{chunk/times_pre[-1]:.1f} steps/s")
+    rate_frozen = chunk / min(times_pre)
+    del state_pre, cond
+
+    # All-trainable leg (Z, kernel, mu/Lu, W/V; per-step neighbor
+    # re-ranking as Z moves) — the headline rate.
     state = TrainState.create(model, opt, key)
     step = make_batched_train_step(
         vnngp_nsf_negative_elbo_batched, opt, num_points=N,
@@ -293,39 +339,6 @@ def run_vnngp_bench(chunk, chunks, quick=False):
         times.append(time.perf_counter() - t0)
         log(f"chunk {c}: {times[-1]:.3f}s -> {chunk/times[-1]:.1f} steps/s")
     rate = chunk / min(times)
-
-    # Frozen-Z/frozen-kernel configuration (the committed reproduction
-    # of the fewer-trainables training rate): the conditioning geometry
-    # — Gram, Cholesky, top-K, K×K solves, K⁻¹ — hoists out entirely
-    # (train/fast_vnngp.py); per step only the mu/Lu/W/V terms remain.
-    from gpzoo_tpu.train.fast_vnngp import (
-        precompute_vnngp_conditioning, vnngp_nsf_negative_elbo_precomputed)
-
-    t0 = time.perf_counter()
-    cond = precompute_vnngp_conditioning(state.model, x)
-    log(f"precomputed conditioning geometry in "
-        f"{time.perf_counter()-t0:.2f}s")
-    state_pre = TrainState.create(state.model, opt, key)
-    step_pre = make_batched_train_step(
-        vnngp_nsf_negative_elbo_precomputed, opt, num_points=N,
-        batch_size=batch, static_kwargs={"E": 1, "y_transposed": True},
-    )
-    runner_pre = make_scan_runner(step_pre, chunk, donate=True)
-    t0 = time.perf_counter()
-    state_pre, losses = runner_pre(state_pre, cond, y_t)
-    jax.block_until_ready(losses)
-    log(f"frozen path compile+warmup: {time.perf_counter()-t0:.1f}s "
-        f"loss[-1]={float(losses[-1]):.4e}")
-    assert np.all(np.isfinite(np.asarray(losses)))
-    times_pre = []
-    for c in range(chunks):
-        t0 = time.perf_counter()
-        state_pre, losses = runner_pre(state_pre, cond, y_t)
-        jax.block_until_ready(losses)
-        times_pre.append(time.perf_counter() - t0)
-        log(f"frozen chunk {c}: {times_pre[-1]:.3f}s -> "
-            f"{chunk/times_pre[-1]:.1f} steps/s")
-    rate_frozen = chunk / min(times_pre)
 
     # full-100k posterior forward (the Pallas SoA K×K conditioning)
     from gpzoo_tpu.predict import latent_posterior

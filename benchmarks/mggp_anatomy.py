@@ -32,26 +32,8 @@ import jax.numpy as jnp
 import optax
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def _fetch(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
-
-
-def _timeit(fn, *args, iters=4, warmup=1, jit=True):
-    jfn = jax.jit(fn) if jit else fn
-    _fetch(jfn(*args))
-    for _ in range(warmup):
-        out = jfn(*args)
-    _fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(*args)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import _fetch, _timeit, log  # noqa: E402
 
 
 def build(scale=1.0, seed=0):

@@ -34,27 +34,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def _fetch(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
-
-
-def _timeit(fn, *args, iters=4, warmup=1, jit=True):
-    jfn = jax.jit(fn) if jit else fn
-    _fetch(jfn(*args))
-    for _ in range(warmup):
-        out = jfn(*args)
-    _fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(*args)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import _fetch, _timeit, copy_model, log  # noqa: E402
 
 
 def build(quick=False, seed=0):
@@ -191,7 +172,9 @@ def main(argv=None):
         for loss, kl in (("fast", "matmul"), ("fast", "solve"),
                          ("pre", "-")):
             log(f"-- loss={loss} kl_form={kl} --")
-            measure_step(model, x, y_t, shp, loss=loss,
+            # fresh buffers per leg: the scan runner donates the state,
+            # which shares the model's device arrays
+            measure_step(copy_model(model), x, y_t, shp, loss=loss,
                          kl_form=kl if kl != "-" else "matmul",
                          chunk=args.chunk, chunks=args.chunks)
     if not args.steps_only:

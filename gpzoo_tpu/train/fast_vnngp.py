@@ -227,8 +227,22 @@ def precompute_vnngp_conditioning(model, x):
     """Build :class:`VNNGPConditioning` for ``model`` over all spots
     ``x``. Requires a shared kernel across factors (equal per-factor
     hyperparameters — the VNNGPConfig init); collapses to factor 0 like
-    ``shared_kernel=True``."""
+    ``shared_kernel=True``. Unlike the fast loss (which may legitimately
+    run mid-training on tied hyperparameters), this VERIFIES equality —
+    a silently wrong frozen geometry from diverged per-factor σ/ℓ (e.g.
+    a model previously trained through the collapse's factor-0 gradient
+    routing) would corrupt every subsequent step."""
+    import numpy as np
+
     gp = model.prior if hasattr(model, "prior") else model.gp
+    for name in ("sigma", "lengthscale"):
+        v = np.asarray(jax.device_get(
+            jnp.asarray(getattr(gp.kernel, name)))).reshape(-1)
+        if v.size > 1 and not np.all(v == v[0]):
+            raise ValueError(
+                f"precompute_vnngp_conditioning: per-factor kernel "
+                f"{name} values are not equal ({v[:4]}…) — the frozen "
+                "conditioning geometry requires a shared kernel")
     kernel = _collapse_shared_kernel(gp.kernel)
     idx, w, c0, k_inv, logdet = _vnngp_geometry(
         kernel, gp.Z, x, gp.jitter, gp.K)
