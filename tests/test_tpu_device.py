@@ -154,3 +154,60 @@ def test_vnngp_fast_loss_on_device(nsf_data):
         {"E": 1, "shared_kernel": True, "y_transposed": True},
         N, 512,
     )
+
+
+def test_vnngp_precomputed_loss_on_device(nsf_data):
+    """Frozen-geometry VNNGP tier (round 4): the precomputed
+    conditioning + per-step S-gather loss on device."""
+    import gpzoo_tpu as gz
+    from gpzoo_tpu.train.fast_vnngp import (
+        precompute_vnngp_conditioning, vnngp_nsf_negative_elbo_precomputed)
+
+    x, y_t, N, D = nsf_data
+    model = gz.VNNGPConfig(D=D, N=N, L=4, M=256, K=8).build(
+        jax.random.PRNGKey(4), X=x)
+    cond = precompute_vnngp_conditioning(model, x)
+    _smoke_steps(
+        model, lambda m, c, y, idx, key, **kw:
+            vnngp_nsf_negative_elbo_precomputed(m, c, y, idx, key, **kw),
+        cond, y_t, {"E": 1, "y_transposed": True}, N, 512,
+    )
+
+
+def test_async_checkpoint_on_device(nsf_data, tmp_path):
+    """AsyncCheckpointer on the real device: snapshot-under-donation +
+    background device->host transfer through the tunnel, restored state
+    resumes the exact trajectory."""
+    import optax
+
+    import gpzoo_tpu as gz
+    from gpzoo_tpu.train import (AsyncCheckpointer, TrainState,
+                                 make_batched_train_step,
+                                 make_restore_template, make_scan_runner,
+                                 restore_checkpoint)
+    from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
+
+    x, y_t, N, D = nsf_data
+    cfg = gz.SlideseqNSFConfig(D=D, N=N, L=4, M=256, batch_size=512)
+    model = cfg.build(jax.random.PRNGKey(1), x)
+    opt = optax.adam(1e-3)
+    step = make_batched_train_step(
+        nsf_negative_elbo_batched, opt, num_points=N, batch_size=512,
+        static_kwargs={"E": 1, "microbatch": 512, "y_transposed": True,
+                       "factored": True, "shared_kernel": True},
+    )
+    runner = make_scan_runner(step, 3, donate=True)
+    state = TrainState.create(model, opt, jax.random.PRNGKey(0))
+    state, _ = runner(state, x, y_t)
+    template = make_restore_template(state)
+    ck = AsyncCheckpointer()
+    path = str(tmp_path / "dev_ck.msgpack")
+    ck.save(path, state)
+    # donate the live buffers into more steps while the write drains
+    state, losses_live = runner(state, x, y_t)
+    losses_live = np.asarray(jax.device_get(losses_live))
+    ck.wait()
+    restored = restore_checkpoint(path, template)
+    _, losses_resumed = runner(restored, x, y_t)
+    np.testing.assert_array_equal(
+        losses_live, np.asarray(jax.device_get(losses_resumed)))
