@@ -341,6 +341,58 @@ def test_checkpoint_roundtrip_factor_sharded(setup, tmp_path):
     assert float(l_live) == float(l_restored)
 
 
+def test_async_checkpoint_factor_sharded(setup, tmp_path):
+    """AsyncCheckpointer on a TP-sharded TrainState (single process, 8
+    virtual devices): the on-device snapshot must respect the factor
+    sharding, the write must equal the synchronous save, and the
+    restored state must land partitioned and resume bit-identically —
+    while the live state's buffers are donated into further steps."""
+    from gpzoo_tpu.train.checkpoint import (AsyncCheckpointer,
+                                            make_restore_template,
+                                            restore_checkpoint,
+                                            save_checkpoint)
+    from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
+    from gpzoo_tpu.train.loop import make_scan_runner
+
+    X, Y, key, model = setup
+    L, M = 2, 16
+    model = _per_factor_model(model, L, M, jax.random.PRNGKey(3))
+    mesh = create_mesh({"data": 4, "factor": 2})
+    opt = optax.adam(1e-2)
+    step = make_sharded_batched_train_step(
+        nsf_negative_elbo_batched, opt, num_points=512, batch_size=64,
+        mesh=mesh, static_kwargs={"E": 1, "microbatch": 32,
+                                  "factored": True},
+    )
+    state, shardings = shard_factor_params(
+        mesh, TrainState.create(model, opt, key), num_factors=L
+    )
+    runner = make_scan_runner(step, 2, donate=True)
+    state, _ = runner(state, X, Y)
+
+    p_sync = str(tmp_path / "sync.msgpack")
+    p_async = str(tmp_path / "async.msgpack")
+    save_checkpoint(p_sync, state)
+    ck = AsyncCheckpointer()
+    ck.save(p_async, state)
+    state, l_live = runner(state, X, Y)  # donates while the write drains
+    ck.wait()
+
+    template = make_restore_template(state)
+    r_sync = restore_checkpoint(p_sync, template, shardings=shardings)
+    r_async = restore_checkpoint(p_async, template, shardings=shardings)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(r_sync)),
+                    jax.tree_util.tree_leaves(jax.device_get(r_async))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    lu = r_async.model.prior.Lu_raw
+    assert lu.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("factor", None, None)), lu.ndim
+    )
+    _, l_resumed = runner(r_async, X, Y)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(l_live)),
+                                  np.asarray(jax.device_get(l_resumed)))
+
+
 def test_checkpoint_restore_without_shardings_matches(setup, tmp_path):
     """The plain (no-mesh) path still round-trips exactly."""
     from gpzoo_tpu.train.checkpoint import (make_restore_template,
