@@ -292,7 +292,10 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     cond = precompute_vnngp_conditioning(model, x)
     log(f"precomputed conditioning geometry in "
         f"{time.perf_counter()-t0:.2f}s")
-    state_pre = TrainState.create(copy_model(model), opt, key)
+    # jnp.copy(key): the donating runner deletes every state buffer,
+    # including the PRNG key — the all-trainable leg below must get a
+    # live copy, not the same uint32[2] array.
+    state_pre = TrainState.create(copy_model(model), opt, jnp.copy(key))
     step_pre = make_batched_train_step(
         vnngp_nsf_negative_elbo_precomputed, opt, num_points=N,
         batch_size=batch, static_kwargs={"E": 1, "y_transposed": True},
