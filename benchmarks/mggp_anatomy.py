@@ -301,17 +301,23 @@ def main(argv=None):
         f"remat={args.remat} grad_precision={args.grad_precision}")
 
     if not args.components_only:
+        # Stage the pristine model on HOST: each leg re-uploads a fresh
+        # device copy, and HBM never holds two full-scale models at once
+        # — the Lu factor alone is ~725 MB, and keeping the original
+        # resident alongside a leg's copy RESOURCE_EXHAUSTED the 16 GB
+        # chip (2026-08-18 run). The scan runner donates each leg's
+        # state, so the host copy is the only pristine one.
+        model_host = jax.device_get(model)
+        del model
         for gp_setting in args.grad_precision.split(","):
             for pp_setting in args.proj_precision.split(","):
                 for cp_setting in args.chol_precision.split(","):
                     log(f"-- grad_precision={gp_setting} "
                         f"proj_precision={pp_setting} "
                         f"chol_precision={cp_setting} --")
-                    # fresh buffers per leg: the scan runner donates the
-                    # state, which shares the model's device arrays
                     model_leg = jax.tree_util.tree_map(
-                        lambda a: jnp.copy(a) if hasattr(a, "dtype")
-                        else a, model)
+                        lambda a: jnp.asarray(a) if hasattr(a, "dtype")
+                        else a, model_host)
                     remat = {"True": True, "False": False}.get(
                         args.remat, args.remat)
                     measure_step(cfg, model_leg, x, y_t, g,

@@ -117,7 +117,7 @@ def build_group_distances(x, groups, n_groups):
     return cdist(avg, avg)
 
 
-def tri_inverse(l, block=512):
+def tri_inverse(l, block=512, precision="highest"):
     """Lower-triangular inverse via 2×2 block recursion — matmuls instead
     of a full-width triangular solve.
 
@@ -130,25 +130,28 @@ def tri_inverse(l, block=512):
     construction drops by roughly the matmul/solve rate ratio.
 
     Accuracy: same O(κ·ε) class as solving against the identity — the
-    off-diagonal block is one extra product — and the matmuls run at
-    HIGHEST precision. ``l``: (..., M, M) lower-triangular, any batch
-    rank. Returns the lower-triangular (..., M, M) inverse.
+    off-diagonal block is one extra product — at ``precision``
+    ("highest" default; the explicit argument matters because a pinned
+    inner ``default_matmul_precision`` context would silently override
+    any caller's outer context — the round-4 ``chol_precision`` A/B
+    no-op'd exactly that way). ``l``: (..., M, M) lower-triangular, any
+    batch rank. Returns the lower-triangular (..., M, M) inverse.
     """
     m = l.shape[-1]
     if m <= block:
         eye = jnp.broadcast_to(
             jnp.eye(m, dtype=l.dtype), l.shape
         )
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(precision):
             return jax.scipy.linalg.solve_triangular(l, eye, lower=True)
     # split at a tile-aligned midpoint (multiples of 128 keep every
     # block's trailing dims on clean MXU/VPU tiles)
     h = ((m // 2 + 127) // 128) * 128
     if h >= m:
         h = m // 2
-    a_inv = tri_inverse(l[..., :h, :h], block)
-    c_inv = tri_inverse(l[..., h:, h:], block)
-    with jax.default_matmul_precision("highest"):
+    a_inv = tri_inverse(l[..., :h, :h], block, precision)
+    c_inv = tri_inverse(l[..., h:, h:], block, precision)
+    with jax.default_matmul_precision(precision):
         b_inv = -jnp.einsum(
             "...ij,...jk,...kl->...il", c_inv, l[..., h:, :h], a_inv
         )
@@ -337,8 +340,9 @@ def _panel_bwd_products(l, w, dl, dw, eye):
     return mm_tri(tri_t_mm(w, phi), w)                 # Wᵀ Φ W
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def cholesky_inverse_mm(k, bwd_precision="highest", bwd_blocked=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def cholesky_inverse_mm(k, bwd_precision="highest", bwd_blocked=False,
+                        fwd_precision="highest"):
     """``(L, W) = (chol(K), L⁻¹)`` with one combined matmul-form backward.
 
     The per-factor trainable-kernel fast path (MGGP full scale) consumes
@@ -371,18 +375,26 @@ def cholesky_inverse_mm(k, bwd_precision="highest", bwd_blocked=False):
     parts+result footprint OOM'd the first round-3 attempt (see
     :func:`_panel_bwd_products`). Values identical to the dense forms up
     to panel-sum reassociation (tests/test_ops.py).
+
+    ``fwd_precision`` (static): matmul precision of the VALUE-path
+    blocked-inverse recursion (the Cholesky itself is an XLA custom call,
+    precision-insensitive). Unlike ``bwd_precision`` this feeds the
+    posterior MEAN through W = Lzz⁻¹ with O(κ·ε) amplification — the
+    ``chol_precision`` policy gate (train/policy.py) decides per config
+    from the measured A/B (benchmarks/mggp_anatomy.py --chol-precision).
     """
     l = jnp.linalg.cholesky(k)
-    return l, tri_inverse(l)
+    return l, tri_inverse(l, precision=fwd_precision)
 
 
-def _cholesky_inverse_mm_fwd(k, bwd_precision, bwd_blocked):
+def _cholesky_inverse_mm_fwd(k, bwd_precision, bwd_blocked, fwd_precision):
     l = jnp.linalg.cholesky(k)
-    w = tri_inverse(l)
+    w = tri_inverse(l, precision=fwd_precision)
     return (l, w), (l, w)
 
 
-def _cholesky_inverse_mm_bwd(bwd_precision, bwd_blocked, res, cots):
+def _cholesky_inverse_mm_bwd(bwd_precision, bwd_blocked, fwd_precision,
+                             res, cots):
     l, w = res
     dl, dw = cots
     m = l.shape[-1]

@@ -204,22 +204,26 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # K⁻¹ = WᵀW product and its backward dominated the step
     # (benchmarks/mggp_anatomy.py: 118 ms fwd of a 1025 ms step).
     w_form = pol.w_form
-    # chol_precision: the hoisted VALUE path (Cholesky, W = Lzz⁻¹).
-    # HIGHEST unless a measured A/B overrides (policy.py docstring).
-    with jax.default_matmul_precision(pol.chol_precision):
-        if w_form:
-            # bwd_blocked panel-blocks the five VJP products only where
-            # it measured a win: 1.22× at a HIGHEST backward, 0.98× at
-            # bf16 (docs/PERFORMANCE.md, 2026-08-17 A/B).
-            lzz, w_inv = cholesky_inverse_mm(
-                kzz, pol.grad_precision, pol.bwd_blocked)
-        else:
-            # matmul-form Cholesky VJP: with trainable kernels the
-            # backward through chol(Kzz) is two ~6 TF/s batched solves in
-            # stock XLA — cholesky_mm reverse-differentiates via the
-            # blocked triangular inverse instead (frozen kernels DCE the
-            # backward either way)
-            lzz = cholesky_mm(kzz)
+    # chol_precision: the hoisted VALUE path's W = Lzz⁻¹ blocked-inverse
+    # matmuls. Threaded as an explicit argument — an outer
+    # default_matmul_precision context is silently overridden by the
+    # op's own inner context (the round-4 A/B no-op). HIGHEST unless a
+    # measured A/B overrides (policy.py docstring); the Cholesky itself
+    # is an XLA custom call either way.
+    if w_form:
+        # bwd_blocked panel-blocks the five VJP products only where
+        # it measured a win: 1.22× at a HIGHEST backward, 0.98× at
+        # bf16 (docs/PERFORMANCE.md, 2026-08-17 A/B).
+        lzz, w_inv = cholesky_inverse_mm(
+            kzz, pol.grad_precision, pol.bwd_blocked,
+            pol.chol_precision)
+    else:
+        # matmul-form Cholesky VJP: with trainable kernels the
+        # backward through chol(Kzz) is two ~6 TF/s batched solves in
+        # stock XLA — cholesky_mm reverse-differentiates via the
+        # blocked triangular inverse instead (frozen kernels DCE the
+        # backward either way)
+        lzz = cholesky_mm(kzz)
     lu = lower_cholesky(gp.Lu_raw)
 
     # Projection-form gate (see the derivation comment below): the

@@ -17,6 +17,7 @@ Dispatch table (config → resolved policy):
 |------------------|-------------------------------------|----------------|
 | grad_precision   | "default" if jitter ≥ 1e-2 else "highest" | bf16 backward −156 ms/step at MGGP scale; deviance identical to 4 decimals (PERFORMANCE.md MGGP table) |
 | proj_precision   | "high" if jitter ≥ 1e-2 else "highest"    | HIGH keeps the ~20× cancellation amplification at ~1e-3 in the variance; bf16-DEFAULT ruled out by arithmetic |
+| chol_precision   | "high" if jitter ≥ 1e-2 else "highest"    | the W = Lzz⁻¹ VALUE path feeds the posterior mean, so HIGH needed its own A/B: trajectory 4e-5 rel after 56 steps, deviance 31.5423 vs 31.5418, −5.5 ms/step (2.626→2.665 steps/s); the big jitter caps κ — small-jitter configs stay HIGHEST |
 | bwd_blocked      | grad_precision == "highest"          | panel-blocked VJP 1.22× at HIGHEST, 0.98× wash at bf16 |
 | stable_projection| jitter < 1e-2 (non-w_form, unwhitened) | O(κ²ε) single-matmul subtrahend vs O(κε) norm-squared form |
 | remat            | caller-chosen: True / False / "save_proj" / "save_proj_kzx" | "save_proj" keeps the named a-product resident (−49 ms at MGGP scale) |
@@ -50,10 +51,10 @@ class FastPathPolicy:
     bwd_blocked: bool
     remat: object  # True | False | "save_proj" | "save_proj_kzx"
     # matmul precision of the hoisted Cholesky/W=Lzz⁻¹ VALUE path.
-    # Default HIGHEST: unlike the variance-only paths, W feeds the
-    # posterior MEAN (Wμ → K⁻¹μ → exp-rate) where errors pass through
-    # exp unsquared. Overridable for the measured A/B
-    # (docs/PERFORMANCE.md, MGGP section).
+    # Unlike the variance-only paths, W feeds the posterior MEAN
+    # (Wμ → K⁻¹μ → exp-rate) where errors pass through exp unsquared —
+    # so HIGH is gated on the big-jitter conditioning class AND its own
+    # measured A/B (module table; docs/PERFORMANCE.md, MGGP section).
     chol_precision: str = "highest"
 
     def wrap_remat(self, chunk_fn):
@@ -94,6 +95,8 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
         grad_precision = "default" if well_jittered else "highest"
     if proj_precision is None:
         proj_precision = "high" if well_jittered else "highest"
+    if chol_precision is None:
+        chol_precision = "high" if well_jittered else "highest"
     stable = bool(
         whitened
         or (not well_jittered if stable_projection is None
@@ -106,5 +109,5 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
         proj_precision=proj_precision,
         bwd_blocked=grad_precision == "highest",
         remat=remat,
-        chol_precision=chol_precision or "highest",
+        chol_precision=chol_precision,
     )

@@ -19,7 +19,10 @@ def test_well_jittered_w_form_defaults():
     assert p.proj_precision == "high"
     assert not p.bwd_blocked  # panel VJP only pays at HIGHEST
     assert not p.stable_projection
-    assert p.chol_precision == "highest"
+    # round-4 measured gate: W = Lzz⁻¹ at HIGH when the big jitter caps
+    # the conditioning (A/B: trajectory 4e-5 rel / 56 steps, deviance
+    # 31.5423 vs 31.5418, −5.5 ms/step at MGGP full scale)
+    assert p.chol_precision == "high"
 
 
 def test_small_jitter_gates_to_highest_and_stable():
@@ -27,6 +30,7 @@ def test_small_jitter_gates_to_highest_and_stable():
                        per_factor_chol=True)
     assert p.grad_precision == "highest"
     assert p.proj_precision == "highest"
+    assert p.chol_precision == "highest"
     assert p.bwd_blocked
     assert p.stable_projection
 
