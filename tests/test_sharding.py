@@ -357,6 +357,14 @@ def test_async_checkpoint_factor_sharded(setup, tmp_path):
     X, Y, key, model = setup
     L, M = 2, 16
     model = _per_factor_model(model, L, M, jax.random.PRNGKey(3))
+    # The runner below DONATES its state, whose non-factor leaves (Z,
+    # W_raw, ...) and PRNG key come straight from the module-scope
+    # fixture — donate copies, or every later test in this module finds
+    # the fixture's buffers deleted (caught 2026-08-18: two downstream
+    # tests failed with "Array has been deleted").
+    model = jax.tree_util.tree_map(
+        lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, model)
+    key = jnp.copy(key)
     mesh = create_mesh({"data": 4, "factor": 2})
     opt = optax.adam(1e-2)
     step = make_sharded_batched_train_step(
