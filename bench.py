@@ -154,15 +154,20 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
         template = make_restore_template(state)
         ck = AsyncCheckpointer()
         # save twice: the first pays the one-time snapshot-program
-        # compile; the second is the steady-state stall.
+        # compile; the second is the steady-state stall. block_snapshot:
+        # the call must not return until the on-device copy has
+        # materialized — dispatch time alone under-reports the true
+        # step-stream stall (the copy serializes with the next chunk on
+        # the compute stream either way).
         t0 = time.perf_counter()
-        ck.save(checkpoint, state)
+        ck.save(checkpoint, state, block_snapshot=True)
         stall_first = time.perf_counter() - t0
         ck.wait()
         t0 = time.perf_counter()
-        ck.save(checkpoint, state)
+        ck.save(checkpoint, state, block_snapshot=True)
         stall = time.perf_counter() - t0
-        log(f"async save stall: {stall:.2f}s steady-state "
+        log(f"async save stall incl. device snapshot copy: "
+            f"{stall:.2f}s steady-state "
             f"({stall_first:.2f}s first call incl. snapshot compile)")
         # live continuation (donates `state`) overlapping the write
         t0 = time.perf_counter()
@@ -259,11 +264,15 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     from gpzoo_tpu.train import (TrainState, make_batched_train_step,
                                  make_scan_runner)
     from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
+    from gpzoo_tpu.utils import copy_arrays as copy_model
 
-    if quick:
-        N, D, L, M, K, batch = 10_000, 50, 10, 250, 8, 1000
-    else:
-        N, D, L, M, K, batch = 100_000, 500, 10, 1000, 8, 5000
+    # shapes are shared with the step-anatomy harness — it exists to
+    # attribute THIS measurement, so the tuples must never drift apart
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    from vnngp_anatomy import VNNGP_SHAPES
+
+    N, D, L, M, K, batch = VNNGP_SHAPES["quick" if quick else "full"]
     rng = np.random.default_rng(0)
     coords = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
     counts_t = rng.poisson(2.0, size=(N, D)).astype(np.float32)
@@ -283,10 +292,6 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     # its runner donates them, and `model` must stay live.
     from gpzoo_tpu.train.fast_vnngp import (
         precompute_vnngp_conditioning, vnngp_nsf_negative_elbo_precomputed)
-
-    def copy_model(m):
-        return jax.tree_util.tree_map(
-            lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, m)
 
     t0 = time.perf_counter()
     cond = precompute_vnngp_conditioning(model, x)

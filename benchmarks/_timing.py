@@ -44,6 +44,8 @@ def copy_model(model):
     """Fresh device buffers for every array leaf — needed before handing
     a model to a donating scan runner when the original must stay live
     for a later leg (the runner donates the TrainState, which shares the
-    model's device arrays)."""
-    return jax.tree_util.tree_map(
-        lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, model)
+    model's device arrays). Canonical implementation:
+    ``gpzoo_tpu.utils.copy_arrays``."""
+    from gpzoo_tpu.utils import copy_arrays
+
+    return copy_arrays(model)

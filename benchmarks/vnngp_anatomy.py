@@ -38,13 +38,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _timing import _fetch, _timeit, copy_model, log  # noqa: E402
 
 
+#: One source of truth for the VNNGP workload shapes (N, D, L, M, K,
+#: batch): this anatomy harness exists to attribute bench.py's
+#: run_vnngp_bench step time, so both MUST measure the same shapes —
+#: bench.py imports these rather than re-spelling them.
+VNNGP_SHAPES = {
+    "quick": (10_000, 50, 10, 250, 8, 1000),
+    "full": (100_000, 500, 10, 1000, 8, 5000),
+}
+
+
 def build(quick=False, seed=0):
     import gpzoo_tpu as gz
 
-    if quick:
-        N, D, L, M, K, batch = 10_000, 50, 10, 250, 8, 1000
-    else:
-        N, D, L, M, K, batch = 100_000, 500, 10, 1000, 8, 5000
+    N, D, L, M, K, batch = VNNGP_SHAPES["quick" if quick else "full"]
     rng = np.random.default_rng(seed)
     coords = rng.uniform(-2, 2, size=(N, 2)).astype(np.float32)
     counts_t = rng.poisson(2.0, size=(N, D)).astype(np.float32)

@@ -209,13 +209,15 @@ def cholesky_blocked(k, block=512):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
-def spd_inverse_from_cholesky(lz, block=512):
+def spd_inverse_from_cholesky(lz, block=512, precision="highest"):
     """K⁻¹ = Lzz⁻ᵀ Lzz⁻¹ from the Cholesky factor, via the blocked
     triangular inverse + one (..., M, M) matmul — the matmul-form-KL /
     precomputed-projection building block, without the ~6 TF/s full-width
-    ``cho_solve(·, I)`` solve."""
-    w = tri_inverse(lz, block)
-    with jax.default_matmul_precision("highest"):
+    ``cho_solve(·, I)`` solve. ``precision`` threads to the blocked
+    inverse and the WᵀW product (explicit for the same
+    outer-context-override reason as ``tri_inverse``)."""
+    w = tri_inverse(lz, block, precision)
+    with jax.default_matmul_precision(precision):
         return jnp.einsum("...ki,...kj->...ij", w, w)
 
 

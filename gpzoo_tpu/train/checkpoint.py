@@ -127,7 +127,7 @@ class AsyncCheckpointer:
         self._thread = None
         self._exc = None
 
-    def save(self, path, state, _after_write=None):
+    def save(self, path, state, _after_write=None, block_snapshot=False):
         self.wait()
         if jax.process_count() > 1:
             save_checkpoint(path, state)
@@ -135,6 +135,16 @@ class AsyncCheckpointer:
                 _after_write()
             return path
         snap = _device_snapshot(state)
+        if block_snapshot:
+            # The snapshot copy is DISPATCHED asynchronously, so the
+            # call time alone measures enqueue, not the device copy —
+            # which serializes with the next step on the compute stream
+            # either way. Measurement code sets this to make save()
+            # return only once the snapshot has materialized, i.e. the
+            # call time IS the true step-stream stall. (Blocks before
+            # the writer thread starts — no race with its eager
+            # HBM-free of the snapshot buffers.)
+            jax.block_until_ready(snap)
 
         def work():
             try:

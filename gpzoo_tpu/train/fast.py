@@ -149,6 +149,13 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     jitter ≥ 1e-2, else "highest"; see docs/PERFORMANCE.md for the
     measured A/B and the cancellation arithmetic that rules out
     bf16-default here.
+
+    ``chol_precision`` (static): matmul precision of the hoisted
+    W = Lzz⁻¹ / K⁻¹ VALUE chain — honored on every projection form
+    (w_form's ``cholesky_inverse_mm``, the shared-Cholesky
+    ``tri_inverse``/``spd_inverse_from_cholesky``, the whitened W).
+    Auto (None): "high" only on the w_form path with jitter ≥ 1e-2
+    (the configuration the A/B measured); "highest" everywhere else.
     """
     gp = getattr(model, "prior", None)
     if gp is None:
@@ -238,14 +245,18 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     if factored and not w_form:
         if not whitened:
             w_inv = None
-        with jax.default_matmul_precision("highest"):
-            if stable_proj:
-                w_inv = tri_inverse(lzz)
-            if not whitened:
+        # pol.chol_precision governs this W/K⁻¹ VALUE chain on every
+        # path (auto resolves to HIGHEST here — policy.py table; the
+        # explicit knob must not silently no-op off the w_form branch)
+        if stable_proj:
+            w_inv = tri_inverse(lzz, precision=pol.chol_precision)
+        if not whitened:
+            with jax.default_matmul_precision(pol.chol_precision):
                 k_inv = (
                     jnp.einsum("...ki,...kj->...ij", w_inv, w_inv)
                     if w_inv is not None
-                    else spd_inverse_from_cholesky(lzz)
+                    else spd_inverse_from_cholesky(
+                        lzz, precision=pol.chol_precision)
                 )
     elif not factored:
         w_inv = None

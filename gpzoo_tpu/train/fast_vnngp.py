@@ -283,7 +283,7 @@ def vnngp_nsf_negative_elbo_precomputed(model, cond, y, idx, key, E=1,
     nb = cond.idx[idx]  # (B, K) contiguous row gather
     w = cond.w[idx]  # (B, K)
     s = jnp.einsum("lij,lkj->lik", lu_l, lu_l)
-    little_s = s[..., nb[:, :, None], nb[:, None, :]]  # (l, B, K, K)
+    little_s = gather_blocks(s, nb)  # (l, B, K, K)
     little_mu = mu_l[..., nb]  # (l, B, K)
     mean = jnp.einsum("lbk,bk->lb", little_mu, w)
     quad = jnp.einsum("lbij,bi,bj->lb", little_s, w, w)

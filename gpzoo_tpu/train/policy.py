@@ -17,7 +17,7 @@ Dispatch table (config → resolved policy):
 |------------------|-------------------------------------|----------------|
 | grad_precision   | "default" if jitter ≥ 1e-2 else "highest" | bf16 backward −156 ms/step at MGGP scale; deviance identical to 4 decimals (PERFORMANCE.md MGGP table) |
 | proj_precision   | "high" if jitter ≥ 1e-2 else "highest"    | HIGH keeps the ~20× cancellation amplification at ~1e-3 in the variance; bf16-DEFAULT ruled out by arithmetic |
-| chol_precision   | "high" if jitter ≥ 1e-2 else "highest"    | the W = Lzz⁻¹ VALUE path feeds the posterior mean, so HIGH needed its own A/B: trajectory 4e-5 rel after 56 steps, deviance 31.5423 vs 31.5418, −5.5 ms/step (2.626→2.665 steps/s); the big jitter caps κ — small-jitter configs stay HIGHEST |
+| chol_precision   | "high" if jitter ≥ 1e-2 AND w_form else "highest" | the W = Lzz⁻¹ VALUE path feeds the posterior mean, so HIGH needed its own A/B: trajectory 4e-5 rel after 56 steps, deviance 31.5423 vs 31.5418, −5.5 ms/step (2.626→2.665 steps/s); the big jitter caps κ — small-jitter configs stay HIGHEST, and the non-w_form W/K⁻¹ builders (shared-Cholesky, whitened) keep HIGHEST until they get their own A/B (explicit values are honored on every path) |
 | bwd_blocked      | grad_precision == "highest"          | panel-blocked VJP 1.22× at HIGHEST, 0.98× wash at bf16 |
 | stable_projection| jitter < 1e-2 (non-w_form, unwhitened) | O(κ²ε) single-matmul subtrahend vs O(κε) norm-squared form |
 | remat            | caller-chosen: True / False / "save_proj" / "save_proj_kzx" | "save_proj" keeps the named a-product resident (−49 ms at MGGP scale) |
@@ -83,6 +83,10 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
     projection. ``None`` knob values take the measured auto defaults;
     explicit values pass through unchanged.
     """
+    if remat is None:
+        # pre-extraction API: any falsy remat selected "no remat" —
+        # keep None valid so the policy split is not a silent narrowing
+        remat = False
     if not (isinstance(remat, bool) or remat in REMAT_POLICIES):
         # any other non-empty string would otherwise silently select
         # full remat — a typo must not pick the wrong policy
@@ -96,7 +100,11 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
     if proj_precision is None:
         proj_precision = "high" if well_jittered else "highest"
     if chol_precision is None:
-        chol_precision = "high" if well_jittered else "highest"
+        # the HIGH gate is backed by a measured A/B only on the w_form
+        # value path (MGGP full scale); the shared-Cholesky/whitened
+        # W-builders keep HIGHEST until they get their own measurement
+        chol_precision = ("high" if well_jittered and w_form
+                          else "highest")
     stable = bool(
         whitened
         or (not well_jittered if stable_projection is None

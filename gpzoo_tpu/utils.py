@@ -117,3 +117,16 @@ def tree_size_bytes(tree):
         for x in jax.tree_util.tree_leaves(tree)
         if hasattr(x, "dtype")
     )
+
+
+def copy_arrays(tree):
+    """Fresh device buffers for every array leaf of a pytree.
+
+    The donation-safe copy: needed before handing a model/state to a
+    buffer-donating step or scan runner when the original arrays must
+    stay live for a later use (a second bench leg, a module-scope test
+    fixture, ...). One canonical copy of the pattern — bench.py, the
+    benchmark harnesses (benchmarks/_timing.py) and the sharding tests
+    all import this."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, tree)

@@ -627,3 +627,50 @@ def test_vnngp_precomputed_matches_generic(key, rng):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-7, atol=1e-10,
                                        err_msg=f"{name} pf={per_factor}")
+
+def test_chol_precision_honored_off_wform(key, monkeypatch):
+    """chol_precision must reach the shared-Cholesky (non-w_form) W/K⁻¹
+    builders — before the round-4 fix the knob silently no-op'd on every
+    path except w_form's cholesky_inverse_mm."""
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=200, D=8, L=3)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    kernel = gz.kernels.NSFRBF.create(L=3, sigma=1.3, lengthscale=0.9)
+    gp = gz.gps.SVGP.create(key, kernel, dim=2, M=16, jitter=1e-1)
+    gp = gp.replace(mu=jax.random.normal(key, (3, 16)),
+                    Lu_raw=jax.random.normal(key, (3, 16, 16)))
+    model = gz.models.NSF.create(key, gp, D=8, N=200, L=3)
+    idx = jax.random.choice(jax.random.PRNGKey(4), 200, (32,),
+                            replace=False)
+
+    import gpzoo_tpu.train.fast as fast_mod
+    seen = {}
+    orig_tri = fast_mod.tri_inverse
+    orig_spd = fast_mod.spd_inverse_from_cholesky
+
+    def spy_tri(l, block=512, precision="highest"):
+        seen.setdefault("tri", []).append(precision)
+        return orig_tri(l, block, precision)
+
+    def spy_spd(lz, block=512, precision="highest"):
+        seen.setdefault("spd", []).append(precision)
+        return orig_spd(lz, block, precision)
+
+    monkeypatch.setattr(fast_mod, "tri_inverse", spy_tri)
+    monkeypatch.setattr(fast_mod, "spd_inverse_from_cholesky", spy_spd)
+
+    ref = negative_elbo_batched(model, x, y, idx, key, E=2)
+    # stable (two-sided) form: W built by tri_inverse
+    a = nsf_negative_elbo_batched(
+        model, x, y, idx, key, E=2, microbatch=16, factored=True,
+        shared_kernel=True, stable_projection=True, chol_precision="high")
+    assert seen.get("tri") == ["high"]
+    # single-matmul form: K⁻¹ built by spd_inverse_from_cholesky
+    b = nsf_negative_elbo_batched(
+        model, x, y, idx, key, E=2, microbatch=16, factored=True,
+        shared_kernel=True, stable_projection=False, chol_precision="high")
+    assert seen.get("spd") == ["high"]
+    # CPU float64 runs precision contexts as no-ops — values must still
+    # equal the generic ELBO with the knob set
+    assert float(a) == pytest.approx(float(ref), rel=1e-9)
+    assert float(b) == pytest.approx(float(ref), rel=1e-9)

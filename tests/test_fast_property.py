@@ -2,7 +2,7 @@
 
 `train/fast.py` carries 8+ interacting static knobs (factored,
 shared_kernel, groups, whitened, per-factor vs shared mu/Lu,
-stable_projection, grad/proj precision, remat policies, microbatch).
+stable_projection, grad/proj/chol precision, remat policies incl. None, microbatch).
 Each gate is unit-tested individually in tests/test_fast.py; this sweep
 draws ~30 random *combinations* and asserts every one equals the generic
 minibatch ELBO (train/elbo.py) in float64 — value AND trainable-leaf
@@ -65,7 +65,8 @@ def _draw_configs(n_cfg, seed=12345):
             stable_projection=pick([None, True, False]),
             grad_precision=pick([None, "default", "highest"]),
             proj_precision=pick([None, "high", "highest"]),
-            remat=pick([True, False, "save_proj", "save_proj_kzx"]),
+            chol_precision=pick([None, "high", "highest"]),
+            remat=pick([None, True, False, "save_proj", "save_proj_kzx"]),
             microbatch=pick([B, B // 2, B // 4]),
             E=pick([1, 2]),
         ))
@@ -99,7 +100,8 @@ def test_random_flag_combination_matches_generic(cfg, rng):
             shared_kernel=cfg["shared_kernel"], groups=groups,
             stable_projection=cfg["stable_projection"],
             grad_precision=cfg["grad_precision"],
-            proj_precision=cfg["proj_precision"], remat=cfg["remat"])
+            proj_precision=cfg["proj_precision"],
+            chol_precision=cfg["chol_precision"], remat=cfg["remat"])
 
     ref_v, ref_g = jax.value_and_grad(ref_loss, allow_int=True)(model)
     v, g = jax.value_and_grad(fast_loss, allow_int=True)(model)
@@ -118,9 +120,14 @@ def test_random_flag_combination_matches_generic(cfg, rng):
             # distributes the same total per factor) — the contract is
             # "equal hyperparameters", where only the SUM is meaningful
             # (and production configs freeze the kernel anyway).
+            # atol scales with the summands' mass: the sum itself can
+            # cancel to ~0 (the MGGP embedding's symmetric distances do
+            # exactly this), leaving only float64 accumulation noise of
+            # the two algorithmically different paths to compare.
             np.testing.assert_allclose(
                 float(np.sum(np.asarray(b))), float(np.sum(a)),
-                rtol=1e-6, atol=1e-9,
+                rtol=1e-6,
+                atol=1e-9 * max(float(np.sum(np.abs(a))), 1.0),
                 err_msg=f"{path} (summed) under {cfg}")
             continue
         np.testing.assert_allclose(

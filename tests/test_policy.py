@@ -82,3 +82,21 @@ def test_wrap_remat_modes():
                            proj_precision="high", bwd_blocked=False,
                            remat=remat)
         assert float(p.wrap_remat(f)(x)) == base
+
+def test_chol_precision_auto_is_wform_scoped():
+    # the HIGH value-path gate is backed by an A/B only on the w_form
+    # path — shared-Cholesky and whitened configs keep HIGHEST on auto
+    shared = resolve_policy(1e-1, whitened=False, factored=True,
+                            per_factor_chol=False)
+    assert shared.chol_precision == "highest"
+    whitened = resolve_policy(1e-1, whitened=True, factored=True,
+                              per_factor_chol=True)
+    assert whitened.chol_precision == "highest"
+
+
+def test_remat_none_means_no_remat():
+    # pre-extraction API accepted any falsy remat as "no remat" — the
+    # policy split must not narrow that to a ValueError
+    p = resolve_policy(1e-1, whitened=False, factored=True,
+                       per_factor_chol=True, remat=None)
+    assert p.remat is False

@@ -362,8 +362,7 @@ def test_async_checkpoint_factor_sharded(setup, tmp_path):
     # fixture — donate copies, or every later test in this module finds
     # the fixture's buffers deleted (caught 2026-08-18: two downstream
     # tests failed with "Array has been deleted").
-    model = jax.tree_util.tree_map(
-        lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, model)
+    model = gz.utils.copy_arrays(model)
     key = jnp.copy(key)
     mesh = create_mesh({"data": 4, "factor": 2})
     opt = optax.adam(1e-2)
