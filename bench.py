@@ -35,7 +35,7 @@ def log(*a):
 
 def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
                   microbatch=None, loss="pre", holdout=None,
-                  checkpoint=None):
+                  checkpoint=None, chol_precision=None):
     import jax
 
     # Matmul precision: the fast path pins its Cholesky/solves to HIGHEST
@@ -113,7 +113,11 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
             num_points=n_train, batch_size=batch,
             static_kwargs={"E": cfg.E, "microbatch": micro,
                            "y_transposed": True, "factored": True,
-                           "shared_kernel": True, "remat": False},
+                           "shared_kernel": True, "remat": False,
+                           # None → policy auto (HIGHEST off w_form);
+                           # the --chol-precision A/B knob for the
+                           # non-w_form K⁻¹ builder this leg rides
+                           "chol_precision": chol_precision},
         )
         step_args = (x, y)
         proj = None
@@ -396,6 +400,14 @@ def main():
                         "assert the loss trajectory resumes bit-identically"
                         " (the deterministic-resume contract at the real "
                         "~2.9 GB state size)")
+    p.add_argument("--chol-precision", choices=("high", "highest"),
+                   default=None,
+                   help="NSF --loss fast only: matmul precision of the "
+                        "per-step K^-1 value chain "
+                        "(tri_inverse/spd_inverse_from_cholesky). "
+                        "Default None = policy auto (HIGHEST on this "
+                        "non-w_form path); the A/B knob that measures "
+                        "whether the w_form HIGH gate generalizes here")
     p.add_argument("--verify", action="store_true",
                    help="run the on-device Pallas kernel verification + "
                         "A/B timing harness (benchmarks/pallas_ab.py) "
@@ -451,7 +463,8 @@ def main():
                                    chunks=args.chunks,
                                    microbatch=args.microbatch,
                                    loss=args.loss,
-                                   checkpoint=args.checkpoint)
+                                   checkpoint=args.checkpoint,
+                                   chol_precision=args.chol_precision)
 
     vs_baseline = None
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

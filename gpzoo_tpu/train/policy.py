@@ -17,7 +17,7 @@ Dispatch table (config → resolved policy):
 |------------------|-------------------------------------|----------------|
 | grad_precision   | "default" if jitter ≥ 1e-2 else "highest" | bf16 backward −156 ms/step at MGGP scale; deviance identical to 4 decimals (PERFORMANCE.md MGGP table) |
 | proj_precision   | "high" if jitter ≥ 1e-2 else "highest"    | HIGH keeps the ~20× cancellation amplification at ~1e-3 in the variance; bf16-DEFAULT ruled out by arithmetic |
-| chol_precision   | "high" if jitter ≥ 1e-2 AND w_form else "highest" | the W = Lzz⁻¹ VALUE path feeds the posterior mean, so HIGH needed its own A/B: trajectory 4e-5 rel after 56 steps, deviance 31.5423 vs 31.5418, −5.5 ms/step (2.626→2.665 steps/s); the big jitter caps κ — small-jitter configs stay HIGHEST, and the non-w_form W/K⁻¹ builders (shared-Cholesky, whitened) keep HIGHEST until they get their own A/B (explicit values are honored on every path) |
+| chol_precision   | "high" if jitter ≥ 1e-2 AND w_form else "highest" | the W = Lzz⁻¹ VALUE path feeds the posterior mean, so HIGH needed its own A/B: trajectory 4e-5 rel after 56 steps, deviance 31.5423 vs 31.5418, −5.5 ms/step (2.626→2.665 steps/s); the big jitter caps κ — small-jitter configs stay HIGHEST, and the non-w_form W/K⁻¹ builders (shared-Cholesky, whitened) keep HIGHEST — their own A/B (NSF fast leg, M=3000 shared K⁻¹) measured a wash: 21.77 vs 21.72 steps/s, one shared inverse per step is ~L× less precision-sensitive work than MGGP's per-factor ones (explicit values are honored on every path) |
 | bwd_blocked      | grad_precision == "highest"          | panel-blocked VJP 1.22× at HIGHEST, 0.98× wash at bf16 |
 | stable_projection| jitter < 1e-2 (non-w_form, unwhitened) | O(κ²ε) single-matmul subtrahend vs O(κε) norm-squared form |
 | remat            | caller-chosen: True / False / "save_proj" / "save_proj_kzx" | "save_proj" keeps the named a-product resident (−49 ms at MGGP scale) |
@@ -102,7 +102,9 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
     if chol_precision is None:
         # the HIGH gate is backed by a measured A/B only on the w_form
         # value path (MGGP full scale); the shared-Cholesky/whitened
-        # W-builders keep HIGHEST until they get their own measurement
+        # W-builders keep HIGHEST — their own A/B measured a wash
+        # (docs/PERFORMANCE.md, NSF fast leg: one shared K⁻¹ per step
+        # is ~L× less precision-sensitive work than MGGP's per-factor)
         chol_precision = ("high" if well_jittered and w_form
                           else "highest")
     stable = bool(
