@@ -270,11 +270,9 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
     from gpzoo_tpu.utils import copy_arrays as copy_model
 
-    # shapes are shared with the step-anatomy harness — it exists to
-    # attribute THIS measurement, so the tuples must never drift apart
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
-    from vnngp_anatomy import VNNGP_SHAPES
+    # shapes are shared with the step-anatomy harness (it exists to
+    # attribute THIS measurement) via the package — no sys.path mutation
+    from gpzoo_tpu.configs import VNNGP_SHAPES
 
     N, D, L, M, K, batch = VNNGP_SHAPES["quick" if quick else "full"]
     rng = np.random.default_rng(0)

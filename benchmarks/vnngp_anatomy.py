@@ -42,10 +42,9 @@ from _timing import _fetch, _timeit, copy_model, log  # noqa: E402
 #: batch): this anatomy harness exists to attribute bench.py's
 #: run_vnngp_bench step time, so both MUST measure the same shapes —
 #: bench.py imports these rather than re-spelling them.
-VNNGP_SHAPES = {
-    "quick": (10_000, 50, 10, 250, 8, 1000),
-    "full": (100_000, 500, 10, 1000, 8, 5000),
-}
+# canonical shapes live in the package (importable without sys.path
+# games); re-exported here for back-compat with older harness invocations
+from gpzoo_tpu.configs import VNNGP_SHAPES  # noqa: E402
 
 
 def build(quick=False, seed=0):

@@ -163,6 +163,16 @@ class MGGPNSFConfig:
         return optax.adam(self.lr)
 
 
+#: Canonical shapes of the VNNGP benchmark legs, shared by bench.py and
+#: the step-anatomy harness (benchmarks/vnngp_anatomy.py) — importable so
+#: neither mutates sys.path to reach the other, and the tuples can never
+#: drift apart. Layout: (N, D, L, M, K, batch).
+VNNGP_SHAPES = {
+    "quick": (10_000, 50, 10, 250, 8, 1000),
+    "full": (100_000, 500, 10, 1000, 8, 5000),
+}
+
+
 @dataclasses.dataclass
 class VNNGPConfig:
     """Nearest-neighbor NSF (nnnsf_visium_anim_experiment.ipynb cells

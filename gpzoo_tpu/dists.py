@@ -98,16 +98,27 @@ class Poisson:
         return jax.random.poisson(key, self.rate, shape=shape)
 
     def log_prob(self, x):
-        """Normalized Poisson log-pmf (torch parity, utilities.py:479,611)."""
-        return x * jnp.log(self.rate) - self.rate - jax.lax.lgamma(x + 1.0)
+        """Normalized Poisson log-pmf (torch parity, utilities.py:479,611).
+
+        ``xlogy`` rather than ``x*log(rate)``: at (x=0, rate=0) the naive
+        product is 0·(−inf) = NaN where torch's ``xlogy``-based
+        implementation returns the correct limit 0 — reachable through
+        ``LegacyHybridNSF``'s raw-W path when trainer clamping
+        (utilities.py:623) drives a loadings row to exactly 0."""
+        return (
+            jax.scipy.special.xlogy(x, self.rate)
+            - self.rate
+            - jax.lax.lgamma(x + 1.0)
+        )
 
     def unnormalized_log_prob(self, x):
         """``y·log(rate) − rate`` — the convention of the reference's
         hybrid minibatch trainer (utilities.py:510) and the Slideseq
         north-star notebook loop (cell 21), dropping the data-only
         ``log y!``. (``utilities.train_batched`` itself uses the
-        normalized ``log_prob``, utilities.py:611.)"""
-        return x * jnp.log(self.rate) - self.rate
+        normalized ``log_prob``, utilities.py:611.) Same ``xlogy``
+        (y=0, rate=0) limit handling as :meth:`log_prob`."""
+        return jax.scipy.special.xlogy(x, self.rate) - self.rate
 
 
 def kl_normal_normal(q: Normal, p: Normal):

@@ -31,7 +31,7 @@ from flax import struct
 
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky
-from gpzoo_tpu.ops.linalg import add_jitter, svgp_forward
+from gpzoo_tpu.ops.linalg import add_jitter, sqrt_safe_grad, svgp_forward
 
 
 def _posterior_tail(kxx, kzz_jittered, lzz, w, mu, lu_raw, var_floor):
@@ -148,7 +148,10 @@ class WSVGP:
         wlu = jnp.einsum("...nm,...mk->...nk", w, lu)
         cov_diag = cov_diag + jnp.sum(jnp.square(wlu), axis=-1)
         mean = jnp.einsum("...nm,...m->...n", w, self.mu)
-        qf = dists.Normal(mean, jnp.sqrt(cov_diag))
+        # sqrt_safe_grad: the clamp can leave cov_diag exactly 0 (reference
+        # clamps the same way, gp.py:287); plain sqrt would NaN the VJP
+        # there. Values are unchanged.
+        qf = dists.Normal(mean, sqrt_safe_grad(cov_diag))
         qu = dists.MultivariateNormalTril(self.mu, lu)
         return qf, qu, None
 

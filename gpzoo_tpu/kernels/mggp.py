@@ -28,7 +28,7 @@ from flax import struct
 
 from gpzoo_tpu.bijectors import GroupDiffConvention
 from gpzoo_tpu.ops.distance import squared_dist
-from gpzoo_tpu.ops.linalg import embed_distance_matrix
+from gpzoo_tpu.ops.linalg import embed_distance_matrix, sqrt_safe_grad
 from gpzoo_tpu.kernels.rbf import _bcast_hparam
 
 
@@ -122,7 +122,7 @@ class MGGPRBF:
     def gram_and_distance(self, x, z, groups_x=None, groups_z=None):
         d2 = squared_dist(x, z)
         g2 = squared_dist(self.embedding[groups_x], self.embedding[groups_z])
-        return self._combine(d2, g2), jnp.sqrt(d2)
+        return self._combine(d2, g2), sqrt_safe_grad(d2)
 
     def _combine(self, d2, g2):
         sigma = _bcast_hparam(self.sigma)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gpzoo_tpu.ops.distance import squared_dist
+from gpzoo_tpu.ops.linalg import sqrt_safe_grad
 
 
 def _bcast_hparam(p):
@@ -97,7 +98,7 @@ class RBF:
         """Gram plus the raw distance matrix, for VNNGP neighbor search
         (kernels.py:123-124)."""
         d2 = self._d2(x, z)
-        return self.gram_from_squared_dist(d2), jnp.sqrt(d2)
+        return self.gram_from_squared_dist(d2), sqrt_safe_grad(d2)
 
     def _d2(self, x, z):
         return squared_dist(x, z)
@@ -159,14 +160,20 @@ class Matern32:
         return jnp.broadcast_to(var[:, None], (var.shape[0], n))
 
     def gram(self, x, z, groups_x=None, groups_z=None):
-        d = jnp.sqrt(squared_dist(x, z))
+        # sqrt_safe_grad, not jnp.sqrt: at d=0 (every Kzz diagonal, any
+        # query coinciding with an inducing point) the plain sqrt VJP is
+        # 0·inf = NaN, silently NaN'ing Z-updates of any SVGP/VNNGP with a
+        # trainable-Z Matérn. The true gradient there is 0 (Matérn-3/2 is
+        # C¹); values are unchanged. Reference: _torch_sqrt,
+        # utilities.py:450-456.
+        d = sqrt_safe_grad(squared_dist(x, z))
         sigma = _bcast_hparam(self.sigma)
         ell = _bcast_hparam(self.lengthscale)
         val = jnp.sqrt(3.0) * d / ell
         return jnp.square(sigma) * (1.0 + val) * jnp.exp(-val)
 
     def gram_and_distance(self, x, z, groups_x=None, groups_z=None):
-        d = jnp.sqrt(squared_dist(x, z))
+        d = sqrt_safe_grad(squared_dist(x, z))
         sigma = _bcast_hparam(self.sigma)
         ell = _bcast_hparam(self.lengthscale)
         val = jnp.sqrt(3.0) * d / ell

@@ -5,6 +5,7 @@ from gpzoo_tpu.ops.linalg import (
     embed_distance_matrix,
     safe_sqrt,
     spd_inverse_from_cholesky,
+    sqrt_safe_grad,
     svgp_forward,
     tri_inverse,
     tril_logdet,
@@ -21,6 +22,7 @@ __all__ = [
     "whitened_kl",
     "safe_sqrt",
     "spd_inverse_from_cholesky",
+    "sqrt_safe_grad",
     "embed_distance_matrix",
     "tri_inverse",
     "tril_logdet",

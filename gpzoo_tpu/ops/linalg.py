@@ -32,6 +32,18 @@ def safe_sqrt(x, eps=1e-12):
     return jnp.sqrt(x + eps)
 
 
+def sqrt_safe_grad(x):
+    """sqrt(x) with a ZERO gradient at x == 0 instead of NaN, and the value
+    unchanged everywhere (unlike :func:`safe_sqrt`, which perturbs values
+    by ε). The ε-free double-``where`` idiom: the inner ``where`` keeps the
+    primal sqrt off x=0 so its VJP never produces inf, the outer one pins
+    the value. Serves the same purpose as the reference's ``_torch_sqrt``
+    (utilities.py:450-456) — finite d(sqrt ‖x−z‖²)/dx at coincident points
+    (every Kzz diagonal) — without shifting Gram values."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def svgp_forward(kxx_diag, kzz, w, inducing_mean, inducing_cov):
     """Marginal posterior projection shared by all SVGP variants.
 

@@ -37,7 +37,8 @@ from gpzoo_tpu.bijectors import lower_cholesky, softplus
 from gpzoo_tpu.gps.svgp import SVGP, WSVGP
 from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_inverse_mm,
                                   cholesky_mm, spd_inverse_from_cholesky,
-                                  tri_inverse, tril_logdet, whitened_kl)
+                                  sqrt_safe_grad, tri_inverse, tril_logdet,
+                                  whitened_kl)
 from gpzoo_tpu.ops.tri_blocked import (tri_kl_trace, tri_matmul,
                                        tri_sq_colsum, tri_tri_matmul)
 from gpzoo_tpu.train.policy import resolve_policy
@@ -489,7 +490,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             # parameterizations (whitened a, unwhitened ã).
             cov = cov + tri_sq_colsum(c_fac, a)
             if whitened:
-                scale = jnp.sqrt(cov)
+                # zero-grad (not NaN) sqrt at cov=0; values unchanged
+                scale = sqrt_safe_grad(cov)
             else:
                 scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
         elif whitened:
@@ -499,7 +501,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             wlu = jnp.einsum("...nm,...mk->...nk", w, lu)
             cov = cov + jnp.sum(jnp.square(wlu), -1)
             mean = jnp.einsum("...nm,...m->...n", w, mu)
-            scale = jnp.sqrt(cov)
+            scale = sqrt_safe_grad(cov)
         else:
             w = jnp.swapaxes(
                 jax.scipy.linalg.cho_solve((lzz, True), kzx), -2, -1
@@ -678,7 +680,7 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     else:
         cov = jnp.clip(base + c2, min=getattr(gp, "var_floor", 1e-6))
     mean, cov = jnp.broadcast_arrays(mean, cov)
-    scale = jnp.sqrt(cov)
+    scale = sqrt_safe_grad(cov)
 
     eps = jax.random.normal(key, (E,) + mean.shape, dtype=mean.dtype)
     f = mean + scale * eps  # (E, L, B)

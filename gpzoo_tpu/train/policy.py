@@ -36,6 +36,10 @@ import jax
 
 REMAT_POLICIES = (True, False, "save_proj", "save_proj_kzx")
 
+#: matmul precision strings the fast path accepts (the jax
+#: default_matmul_precision vocabulary used by the measured A/Bs)
+PRECISIONS = ("default", "high", "highest")
+
 #: jitter at or above this is "well-conditioned" for the bf16/HIGH gates
 WELL_JITTERED = 1e-2
 
@@ -112,6 +116,16 @@ def resolve_policy(jitter, *, whitened, factored, per_factor_chol,
         or (not well_jittered if stable_projection is None
             else stable_projection)
     )
+    # Validate the resolved precision strings like remat above: a typo
+    # ("hgh") or an explicit falsy-but-non-None value ("") would otherwise
+    # flow unvalidated into jax.default_matmul_precision and fail later
+    # with an opaque error mid-trace.
+    for knob, val in (("grad_precision", grad_precision),
+                      ("proj_precision", proj_precision),
+                      ("chol_precision", chol_precision)):
+        if val not in PRECISIONS:
+            raise ValueError(
+                f"{knob}={val!r}: expected one of {PRECISIONS}")
     return FastPathPolicy(
         w_form=w_form,
         stable_projection=stable,

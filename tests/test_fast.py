@@ -628,6 +628,7 @@ def test_vnngp_precomputed_matches_generic(key, rng):
                                        rtol=1e-7, atol=1e-10,
                                        err_msg=f"{name} pf={per_factor}")
 
+
 def test_chol_precision_honored_off_wform(key, monkeypatch):
     """chol_precision must reach the shared-Cholesky (non-w_form) W/K⁻¹
     builders — before the round-4 fix the knob silently no-op'd on every

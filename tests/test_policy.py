@@ -83,6 +83,7 @@ def test_wrap_remat_modes():
                            remat=remat)
         assert float(p.wrap_remat(f)(x)) == base
 
+
 def test_chol_precision_auto_is_wform_scoped():
     # the HIGH value-path gate is backed by an A/B only on the w_form
     # path — shared-Cholesky and whitened configs keep HIGHEST on auto
