@@ -78,6 +78,31 @@ def test_morans_i_detects_structure(rng):
     assert abs(i_noise) < 0.15
 
 
+def test_morans_i_pinned_hand_computed():
+    """Numerical pin of the full Moran's-I pipeline (weights construction
+    included) on a fixture small enough to derive by hand — a silent
+    weight-convention drift (row-normalization, symmetrization, neighbor
+    count) would move these exact values (round-4 verdict weak #4).
+
+    Fixture: 4 collinear points at x = 0, 1, 3, 7 with n_neighs=1.
+    Nearest neighbors: 0→1, 1→0, 2→1, 3→2; symmetrized adjacency is the
+    path graph 0−1−2−3; row-normalized weights W[0,1]=1, W[1,0]=W[1,2]=½,
+    W[2,1]=W[2,3]=½, W[3,2]=1, ΣW = 4.
+
+    v1 = (0, 1, 3, 7): z = (−2.75, −1.75, 0.25, 4.25),
+      zᵀWz = 8.375, zᵀz = 28.75 → I = (4/4)·8.375/28.75 = 67/230.
+    v2 = (1, −1, 1, −1): z = v2, zᵀWz = −4, zᵀz = 4 → I = −1 exactly.
+    """
+    coords = np.array([[0.0, 0.0], [1.0, 0.0], [3.0, 0.0], [7.0, 0.0]])
+    values = np.array([[0.0, 1.0], [1.0, -1.0], [3.0, 1.0], [7.0, -1.0]])
+    got = data.morans_i(values, coords, n_neighs=1)
+    np.testing.assert_allclose(got, [67.0 / 230.0, -1.0], rtol=1e-12)
+    # scalar path agrees with the batched path
+    assert data.morans_i(values[:, 0], coords, n_neighs=1) == pytest.approx(
+        67.0 / 230.0, rel=1e-12
+    )
+
+
 def test_dims_autocorr_ranking(rng):
     coords = rng.uniform(-2, 2, (400, 2))
     factors = np.stack(
