@@ -50,6 +50,8 @@ from gpzoo_tpu import (
 from gpzoo_tpu.configs import (
     SVGPRegressionConfig,
     PNMFConfig,
+    HybridNSFConfig,
+    SlideseqHybridMGGPConfig,
     NSFConfig,
     MGGPNSFConfig,
     VNNGPConfig,
@@ -71,6 +73,8 @@ __all__ = [
     "warmstart",
     "SVGPRegressionConfig",
     "PNMFConfig",
+    "HybridNSFConfig",
+    "SlideseqHybridMGGPConfig",
     "NSFConfig",
     "MGGPNSFConfig",
     "VNNGPConfig",

@@ -163,6 +163,141 @@ class MGGPNSFConfig:
         return optax.adam(self.lr)
 
 
+@dataclasses.dataclass
+class HybridNSFConfig:
+    """Hybrid NSF benchmark (NSF_Hybrid_benchmark.ipynb cells 11-23):
+    L=4 spatial + T=3 mean-field factors, M=23²=529 grid inducing points
+    over [-2,2]², NSF_RBF(σ=1, ℓ=0.1), jitter=1e-3, Lu=1e-2·I,
+    cf mean = 0 with scale_pf=1e-1, Adam(1e-3), FULL batch, E=1000,
+    10k steps. Reference wall time: 461 s ≈ 21.7 steps/s on GPU
+    (cell 23). Trainables per cell 15: σ frozen; cf.W, cf.prior.mean and
+    V frozen; ℓ, Z, mu, Lu, sf.W (and cf scale) train."""
+
+    D: int = 80
+    N: int = 800
+    L: int = 4
+    T: int = 3
+    M_grid: int = 23
+    sigma: float = 1.0
+    lengthscale: float = 0.1
+    jitter: float = 1e-3
+    scale_pf: float = 1e-1
+    lr: float = 1e-3
+    E: int = 1000
+    steps: int = 10_000
+
+    @property
+    def M(self):
+        return self.M_grid ** 2
+
+    def build(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        kernel = kernels.NSFRBF.create(
+            sigma=self.sigma, lengthscale=self.lengthscale, L=self.L
+        )
+        gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M,
+                             jitter=self.jitter)
+        # cell 11: Z = cartesian grid, Lu = 1e-2·I per factor; mu is
+        # NMF-warm-started there — the synthetic bench uses a small
+        # random mu (per-step cost is shape-determined; quality is
+        # guarded by the held-out deviance, not the init).
+        side = jnp.linspace(-2.0, 2.0, self.M_grid)
+        zx, zy = jnp.meshgrid(side, side, indexing="ij")
+        gp = gp.replace(
+            Z=jnp.stack([zx.ravel(), zy.ravel()], axis=-1),
+            mu=0.1 * jax.random.normal(k3, (self.L, self.M)),
+            Lu_raw=lower_cholesky_inverse(jnp.broadcast_to(
+                1e-2 * jnp.eye(self.M), (self.L, self.M, self.M))),
+        )
+        prior2 = gps.GaussianPrior.create(k2, self.N, L=self.T,
+                                          scale_pf=self.scale_pf)
+        prior2 = prior2.replace(mean=jnp.zeros((self.T, self.N)))
+        return models.HybridNSF.create(k1, gp, prior2, self.D, self.N,
+                                       L=self.L, T=self.T)
+
+    def trainable(self, path: str) -> bool:
+        """cell 15's requires_grad flips."""
+        if path.endswith("kernel.sigma"):
+            return False
+        if path in ("cf.W_raw", "cf.prior.mean", "V_raw"):
+            return False
+        return True
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
+@dataclasses.dataclass
+class SlideseqHybridMGGPConfig:
+    """Slideseq-scale Hybrid-MGGP fine-tune
+    (Slideseq_MGGP_hybrid_new_version-Copy1.ipynb cells 29-35): the
+    PNMF-warm-started composition — L=10 spatial factors on an
+    MGGP_SVGP(M=215×14 groups=3010, MGGP_NSF_RBF(σ=1, ℓ=4, α=0.7),
+    jitter=1e-2) + T=10 mean-field factors, batch 6000, E=3, all three
+    kernel hyperparameters frozen (cell 32), Adam (the notebook ramps
+    OneCycleLR to 1e-3; a flat 1e-4 base is used here). In production the
+    model comes from :func:`gpzoo_tpu.warmstart.hybrid_mggp_from_pnmf`;
+    ``build`` constructs the same shapes synthetically."""
+
+    D: int = 4000
+    N: int = 45_000
+    L: int = 10
+    T: int = 10
+    M_per_group: int = 215
+    n_groups: int = 14
+    sigma: float = 1.0
+    lengthscale: float = 4.0
+    group_diff_param: float = 0.7
+    jitter: float = 1e-2
+    lr: float = 1e-4
+    E: int = 3
+    batch_size: int = 6000
+    steps: int = 24_000
+
+    @property
+    def M(self):
+        return self.M_per_group * self.n_groups
+
+    def build(self, key, X, groups):
+        import numpy as np
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        kernel = kernels.MGGPNSFRBF.create(
+            sigma=self.sigma,
+            lengthscale=self.lengthscale,
+            group_diff_param=self.group_diff_param,
+            n_groups=self.n_groups,
+            L=self.L,
+        )
+        # cell 29: uniform (unstratified) inducing subset; mu/Lu come
+        # from the PNMF posterior there — identity Lu + small random mu
+        # here (same shapes; the warm-start pipeline is warmstart.py).
+        Xn, gn = np.asarray(X), np.asarray(groups)
+        rng = np.random.default_rng(0)
+        take = rng.choice(Xn.shape[0], size=self.M, replace=False)
+        gp = gps.MGGPSVGP(
+            kernel=kernel,
+            Z=jnp.asarray(Xn[take]),
+            groupsZ=jnp.asarray(gn[take], jnp.int32),
+            mu=0.1 * jax.random.normal(k3, (self.L, self.M)),
+            Lu_raw=lower_cholesky_inverse(
+                jnp.broadcast_to(jnp.eye(self.M),
+                                 (self.L, self.M, self.M))),
+            jitter=self.jitter,
+        )
+        prior2 = gps.GaussianPrior.create(k2, self.N, L=self.T)
+        return models.HybridNSF.create(k1, gp, prior2, self.D, self.N,
+                                       L=self.L, T=self.T)
+
+    def trainable(self, path: str) -> bool:
+        """cell 32: all kernel hyperparameters frozen; Z, mu, Lu, V (and
+        the heads' W / mean-field params) train."""
+        return ".kernel." not in path
+
+    def optimizer(self):
+        return optax.adam(self.lr)
+
+
 #: Canonical shapes of the VNNGP benchmark legs, shared by bench.py and
 #: the step-anatomy harness (benchmarks/vnngp_anatomy.py) — importable so
 #: neither mutates sys.path to reach the other, and the tuples can never
@@ -197,6 +332,12 @@ class VNNGPConfig:
         )
         gp = gps.VNNGP.create(k1, kernel, dim=2, M=self.M, K=self.K,
                               jitter=self.jitter)
+        # Lu = identity, like SlideseqNSFConfig: VNNGP.create's random
+        # raw Cholesky exponentiates its diagonal (exp-diag bijector), so
+        # at scale the exp(F)-rate blows up and the objective diverges
+        # (round-4 verdict item 2). The reference's VNNGP toys converge
+        # from comparable near-unit scales (vnngp.ipynb cell 6).
+        gp = gp.replace(Lu_raw=lower_cholesky_inverse(jnp.eye(self.M)))
         if X is not None:
             idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
                                     replace=False)

@@ -20,7 +20,12 @@ sliced per chunk — so loss values match the monolithic computation to
 floating-point reassociation tolerance (asserted in tests/test_fast.py).
 
 Supports the flagship :class:`gpzoo_tpu.models.NSF` head over an
-(un)whitened SVGP prior.
+(un)whitened SVGP prior, and the two-prior
+:class:`gpzoo_tpu.models.HybridNSF` head (reference ``Hybrid_NSF2``,
+likelihoods.py:100-165): the non-spatial half is a per-spot gather of the
+mean-field parameters plus one elementwise KL, so it rides the same scan
+with negligible extra cost (its (T, mb) chunks are tiny next to the GP's
+(L, M, mb) projection).
 """
 
 from __future__ import annotations
@@ -76,6 +81,40 @@ def _matmul_kl(mu, lu, lzz, k_inv=None):
     return kl, k_inv
 
 
+def _split_head(model):
+    """Dispatch a factorization head into (poisson_head, gp, hybrid).
+
+    ``poisson_head`` owns ``W_raw``; ``gp`` is the spatial prior. For
+    :class:`~gpzoo_tpu.models.HybridNSF` the head is the spatial half
+    ``model.sf`` and ``hybrid`` is True — the mean-field half is read off
+    ``model.cf`` by the caller. :class:`~gpzoo_tpu.models.LegacyHybridNSF`
+    is rejected: its raw (un-softplus'd) concatenated loadings
+    (likelihoods.py:287-293) need the trainer-side clamp and don't fit the
+    softplus-rate scan body — use ``negative_elbo_hybrid_batched``.
+    """
+    if hasattr(model, "W2_raw"):
+        raise NotImplementedError(
+            "LegacyHybridNSF's raw-loadings rate is not supported by the "
+            "fast path; use train.elbo.negative_elbo_hybrid_batched"
+        )
+    if hasattr(model, "sf") and hasattr(model, "cf"):
+        return model.sf, model.sf.prior, True
+    gp = getattr(model, "prior", None)
+    if gp is None:
+        gp = model.gp  # MGGPNSF / LegacyNSF attribute name
+    return model, gp, False
+
+
+def _meanfield_kl(mean2, scale2, scale_pf):
+    """Σ KL(N(m, s²) ‖ N(0, scale_pf²)) over a (T, B) mean-field slice —
+    the hybrid head's second KL term (utilities.py:512-516)."""
+    return jnp.sum(dists.kl_divergence(
+        dists.Normal(mean2, scale2),
+        dists.Normal(jnp.zeros_like(mean2),
+                     scale_pf * jnp.ones_like(scale2)),
+    ))
+
+
 def _collapse_shared_kernel(kernel):
     """Take factor 0's hyperparameters of an L-batched kernel whose
     factors are known-equal (caller asserts) — Gram/Cholesky collapse.
@@ -114,6 +153,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                               chol_precision=None):
     """Blockwise minibatch −ELBO for NSF(SVGP/WSVGP) — same value as
     ``negative_elbo_batched(model, x, y, idx, key, E, unnormalized)``.
+
+    Hybrid heads (:class:`gpzoo_tpu.models.HybridNSF`, incl. an MGGP
+    spatial half via ``groups=``) are dispatched automatically and equal
+    ``negative_elbo_hybrid_batched`` instead (tests/test_fast.py hybrid
+    section; reference ``Hybrid_NSF2``, likelihoods.py:100-165).
 
     ``microbatch`` is the spot-axis block size; the minibatch is processed
     in ``ceil(B / microbatch)`` chunks (B padded virtually by clamping is
@@ -158,9 +202,13 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     Auto (None): "high" only on the w_form path with jitter ≥ 1e-2
     (the configuration the A/B measured); "highest" everywhere else.
     """
-    gp = getattr(model, "prior", None)
-    if gp is None:
-        gp = model.gp  # MGGPNSF / LegacyNSF attribute name
+    head, gp, hybrid = _split_head(model)
+    if hybrid:
+        # HybridNSF.batched splits the key: k1 → the GP half's draws,
+        # k2 → the mean-field half's (factorization.py:163-167). Matching
+        # the split keeps the fast loss bit-compatible with the generic
+        # negative_elbo_hybrid_batched.
+        key, key2 = jax.random.split(key)
     groups_z = getattr(gp, "groupsZ", None)
     whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
     b = idx.shape[0]
@@ -328,6 +376,23 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
 
         kl = kl * (_kl_copies(kernel_batch) // _kl_copies(post_batch))
 
+    # Hybrid mean-field half (reference Hybrid_NSF2): qF2 is a per-spot
+    # gather of the GaussianPrior's (T, N) parameters; its KL is one
+    # elementwise (T, B) reduction — both batch-independent of the scan,
+    # so they hoist like the GP KL. The KL-copies correction above applies
+    # only to the GP KL (the generic path's mean-field KL has no kernel
+    # broadcast), hence kl2 is added after it.
+    mean2 = scale2 = eps2 = w2_sp = None
+    if hybrid:
+        prior2 = model.cf.prior
+        mean2 = prior2.mean[:, idx]  # (T, B)
+        scale2 = softplus(prior2.scale_raw[:, idx])
+        w2_sp = softplus(model.cf.W_raw)  # (D, T)
+        kl = kl + _meanfield_kl(mean2, scale2, prior2.scale_pf)
+        # bit-identical to Normal.sample(k2, (E,)) on the (T, B) slice
+        eps2 = jax.random.normal(key2, (E,) + mean2.shape,
+                                 dtype=jnp.result_type(mean2))
+
     # Per-step factored precomputations (see docstring). Every per-chunk
     # projection is a matmul (no triangular solves anywhere):
     #   whitened:     a = W Kzx (W = Lzz⁻¹, blocked inverse),
@@ -387,7 +452,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         jax.eval_shape(lambda: kernel.diag(x[:1])).dtype)
     eps = jax.random.normal(key, eps_shape, dtype=eps_dtype)
 
-    w_sp = softplus(model.W_raw)  # (D, L)
+    w_sp = softplus(head.W_raw)  # (D, L)
     v_sp = softplus(model.V_raw[idx])  # (B,)
     # y_transposed: caller stores counts spot-major (N, D) so the
     # minibatch gather is a contiguous row gather — the (D, N) layout
@@ -413,16 +478,21 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             axis, 0,
         )
 
+    dummy = jnp.zeros((nc, 1))
     xs = (
         chunk(x_batch, 0),  # (nc, mb, dim)
         chunk(eps, eps.ndim - 1),  # (nc, E, L, mb) / (nc, E, mb)
         chunk(v_sp, 0),  # (nc, mb)
         chunk(y_batch, 1),  # (nc, D, mb)
         (chunk(groups_batch, 0) if groups_batch is not None
-         else jnp.zeros((nc, 1))),  # (nc, mb) group labels / dummy
+         else dummy),  # (nc, mb) group labels / dummy
+        # hybrid mean-field half, chunked along spots (dummies otherwise)
+        chunk(mean2, 1) if hybrid else dummy,  # (nc, T, mb)
+        chunk(scale2, 1) if hybrid else dummy,  # (nc, T, mb)
+        chunk(eps2, eps2.ndim - 1) if hybrid else dummy,  # (nc, E, T, mb)
     )
 
-    def chunk_ll(xc, epsc, vc, yc, gc):
+    def chunk_ll(xc, epsc, vc, yc, gc, m2c, s2c, e2c):
         gc = gc if groups is not None else None
         kxx = kernel.diag(xc, gc)  # (L, mb) / (mb,)
         kzx = kernel.gram(gp.Z, xc, groups_z, gc)  # (L, M, mb) / (M, mb)
@@ -511,7 +581,11 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             cov = kxx + jnp.sum(wd * w, -1)
             scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
         f = mean + scale * epsc  # (E, L, mb)
-        rate = vc * jnp.einsum("dl,...ln->...dn", w_sp, jnp.exp(f))
+        rate = jnp.einsum("dl,...ln->...dn", w_sp, jnp.exp(f))
+        if hybrid:
+            f2 = m2c + s2c * e2c  # (E, T, mb)
+            rate = rate + jnp.einsum("dt,...tn->...dn", w2_sp, jnp.exp(f2))
+        rate = vc * rate
         py = dists.Poisson(rate)
         lp = (py.unnormalized_log_prob(yc) if unnormalized
               else py.log_prob(yc))
@@ -602,9 +676,7 @@ def precompute_nsf_projection(model, x, block=None):
     factor 0 like ``shared_kernel=True``. ``block`` bounds the (M, block)
     solve working set (default: one pass over all N).
     """
-    gp = getattr(model, "prior", None)
-    if gp is None:
-        gp = model.gp
+    _, gp, _ = _split_head(model)
     whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
     kernel = _collapse_shared_kernel(gp.kernel)
     n = x.shape[0]
@@ -656,9 +728,9 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     (L, B) marginal bit-for-bit, so the loss trajectory is the generic
     path's trajectory up to float reassociation.
     """
-    gp = getattr(model, "prior", None)
-    if gp is None:
-        gp = model.gp
+    head, gp, hybrid = _split_head(model)
+    if hybrid:
+        key, key2 = jax.random.split(key)  # HybridNSF.batched's (k1, k2)
     lu = lower_cholesky(gp.Lu_raw)
     lu_l = lu if lu.ndim == 3 else lu[None]
     mu_l = jnp.atleast_2d(jnp.asarray(gp.mu))
@@ -684,9 +756,22 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
 
     eps = jax.random.normal(key, (E,) + mean.shape, dtype=mean.dtype)
     f = mean + scale * eps  # (E, L, B)
-    rate = softplus(model.V_raw[idx]) * jnp.einsum(
-        "dl,eln->edn", softplus(model.W_raw), jnp.exp(f)
-    )
+    rate = jnp.einsum("dl,eln->edn", softplus(head.W_raw), jnp.exp(f))
+    kl2 = 0.0
+    if hybrid:
+        # mean-field half: per-spot gather + reparameterized draw with the
+        # split key (bit-identical to HybridNSF.batched's f2), plus the
+        # elementwise second KL term.
+        prior2 = model.cf.prior
+        mean2 = prior2.mean[:, idx]  # (T, B)
+        scale2 = softplus(prior2.scale_raw[:, idx])
+        eps2 = jax.random.normal(key2, (E,) + mean2.shape,
+                                 dtype=jnp.result_type(mean2))
+        f2 = mean2 + scale2 * eps2
+        rate = rate + jnp.einsum("dt,etn->edn", softplus(model.cf.W_raw),
+                                 jnp.exp(f2))
+        kl2 = _meanfield_kl(mean2, scale2, prior2.scale_pf)
+    rate = softplus(model.V_raw[idx]) * rate
     py = dists.Poisson(rate)
     yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
@@ -710,4 +795,4 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
         # mu/Lu there are still n_factors identical KL terms.
         n_factors = mean.shape[0]
         kl = jnp.sum(kl_terms) * (n_factors // kl_terms.shape[0])
-    return -(ll - kl)
+    return -(ll - kl - kl2)

@@ -675,3 +675,173 @@ def test_chol_precision_honored_off_wform(key, monkeypatch):
     # equal the generic ELBO with the knob set
     assert float(a) == pytest.approx(float(ref), rel=1e-9)
     assert float(b) == pytest.approx(float(ref), rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid (spatial + mean-field) head — reference Hybrid_NSF2
+# ---------------------------------------------------------------------------
+
+from gpzoo_tpu.train.elbo import negative_elbo_hybrid_batched  # noqa: E402
+
+
+def _hybrid_model(key, whitened=False, N=300, D=12, L=3, T=2, M=20,
+                  jitter=1e-1, scale_pf=0.1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    kernel = gz.kernels.NSFRBF.create(L=L, sigma=1.1, lengthscale=0.8)
+    cls = gz.gps.WSVGP if whitened else gz.gps.SVGP
+    gp = cls.create(k1, kernel, dim=2, M=M, jitter=jitter)
+    gp = gp.replace(mu=jax.random.normal(k3, (L, M)),
+                    Lu_raw=0.1 * jax.random.normal(k3, (L, M, M)))
+    prior2 = gz.gps.GaussianPrior.create(k2, N, L=T, scale_pf=scale_pf)
+    return gz.models.HybridNSF.create(k1, gp, prior2, D, N, L=L, T=T)
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup():
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=300, D=12, L=3)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    key = jax.random.PRNGKey(11)
+    model = _hybrid_model(key)
+    idx = jax.random.choice(jax.random.PRNGKey(7), 300, (64,),
+                            replace=False)
+    return model, x, y, idx, key
+
+
+def test_hybrid_value_matches_generic(hybrid_setup):
+    model, x, y, idx, key = hybrid_setup
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    for mb in (64, 32, 16):
+        fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                         microbatch=mb)
+        assert float(fast) == pytest.approx(float(ref), rel=1e-10), mb
+
+
+def test_hybrid_gradient_matches_generic(hybrid_setup):
+    model, x, y, idx, key = hybrid_setup
+    g_ref = jax.grad(
+        lambda m: negative_elbo_hybrid_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_fast = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                            microbatch=16)
+    )(model)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fast),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+@pytest.mark.parametrize("whitened", [False, True])
+def test_hybrid_factored_matches_generic(hybrid_setup, whitened):
+    _, x, y, idx, key = hybrid_setup
+    model = _hybrid_model(jax.random.PRNGKey(21), whitened=whitened)
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    # per-factor (L, M, M) Cholesky + factored → the W-form path when
+    # unwhitened; the whitened branch runs the blocked-W projection
+    fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                     microbatch=16, factored=True)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-8)
+    g_ref = jax.grad(
+        lambda m: negative_elbo_hybrid_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_fast = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                            microbatch=16, factored=True)
+    )(model)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fast),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-8,
+            err_msg=f"{jax.tree_util.keystr(pa)} whitened={whitened}")
+
+
+def test_hybrid_shared_kernel_matches_generic(hybrid_setup):
+    model, x, y, idx, key = hybrid_setup
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                     microbatch=16, factored=True,
+                                     shared_kernel=True)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-8)
+
+
+def test_hybrid_mggp_matches_generic(key, rng):
+    """Hybrid with an MGGP spatial half (the Slideseq warm-start
+    composition): groups threaded into the group-aware kernel."""
+    n_groups, N, D, L, T, M = 3, 240, 10, 3, 2, 18
+    coords = jnp.asarray(rng.uniform(-2, 2, size=(N, 2)), jnp.float64)
+    counts = jnp.asarray(rng.poisson(2.0, size=(D, N)), jnp.float64)
+    groups = jnp.asarray(rng.integers(0, n_groups, size=(N,)))
+    k1, k2 = jax.random.split(key)
+    kernel = gz.kernels.MGGPNSFRBF.create(
+        sigma=1.0, lengthscale=1.2, group_diff_param=1.5,
+        n_groups=n_groups, L=L)
+    gp = gz.gps.MGGPSVGP.create(k1, kernel, dim=2, M=M, jitter=1e-1,
+                                n_groups=n_groups)
+    prior2 = gz.gps.GaussianPrior.create(k2, N, L=T, scale_pf=0.1)
+    model = gz.models.HybridNSF.create(k1, gp, prior2, D, N, L=L, T=T)
+    idx = jax.random.choice(jax.random.PRNGKey(5), N, (48,), replace=False)
+    ref = negative_elbo_hybrid_batched(model, coords, counts, idx, key,
+                                       E=2, groups_x=groups)
+    fast = nsf_negative_elbo_batched(model, coords, counts, idx, key, E=2,
+                                     microbatch=16, factored=True,
+                                     groups=groups)
+    assert float(fast) == pytest.approx(float(ref), rel=1e-8)
+
+
+def test_hybrid_precomputed_matches_generic(hybrid_setup):
+    """Frozen-geometry hybrid: the precomputed-projection loss equals the
+    generic hybrid ELBO (Z + kernel frozen — the fine-tune setting)."""
+    model, x, y, idx, key = hybrid_setup
+    proj = precompute_nsf_projection(model, x)
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    pre = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    assert float(pre) == pytest.approx(float(ref), rel=1e-8)
+    g_ref = jax.grad(
+        lambda m: negative_elbo_hybrid_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_pre = jax.grad(
+        lambda m: nsf_negative_elbo_precomputed(m, proj, y, idx, key, E=2)
+    )(model)
+    for name, a, b in (
+        ("mu", g_ref.sf.prior.mu, g_pre.sf.prior.mu),
+        ("Lu_raw", g_ref.sf.prior.Lu_raw, g_pre.sf.prior.Lu_raw),
+        ("sf.W_raw", g_ref.sf.W_raw, g_pre.sf.W_raw),
+        ("cf.W_raw", g_ref.cf.W_raw, g_pre.cf.W_raw),
+        ("cf.mean", g_ref.cf.prior.mean, g_pre.cf.prior.mean),
+        ("cf.scale_raw", g_ref.cf.prior.scale_raw, g_pre.cf.prior.scale_raw),
+        ("V_raw", g_ref.V_raw, g_pre.V_raw),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-9, err_msg=name)
+
+
+def test_hybrid_whitened_precomputed(key):
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=260, D=10, L=3)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    model = _hybrid_model(jax.random.PRNGKey(31), whitened=True, N=260,
+                          D=10)
+    idx = jax.random.choice(jax.random.PRNGKey(6), 260, (52,),
+                            replace=False)
+    proj = precompute_nsf_projection(model, x)
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    pre = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    assert float(pre) == pytest.approx(float(ref), rel=1e-8)
+
+
+def test_hybrid_legacy_rejected(hybrid_setup):
+    _, x, y, idx, key = hybrid_setup
+    gp = gz.gps.SVGP.create(
+        key, gz.kernels.NSFRBF.create(L=3, lengthscale=1.0), dim=2, M=20,
+        jitter=1e-1)
+    legacy = gz.models.LegacyHybridNSF.create(key, gp, D=12, N=300, L=3,
+                                              non_spatial_factors=2)
+    with pytest.raises(NotImplementedError):
+        nsf_negative_elbo_batched(legacy, x, y, idx, key, E=1,
+                                  microbatch=16)

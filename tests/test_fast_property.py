@@ -19,13 +19,14 @@ import pytest
 
 import gpzoo_tpu as gz
 from gpzoo_tpu.train import negative_elbo_batched
+from gpzoo_tpu.train.elbo import negative_elbo_hybrid_batched
 from gpzoo_tpu.train.fast import nsf_negative_elbo_batched
 
 N, D, L, M, B, G = 160, 8, 3, 12, 32, 3
 
 
 def _build_model(kind, whitened, per_factor, jitter, key):
-    if kind == "mggp":
+    if "mggp" in kind:
         kernel = gz.kernels.MGGPNSFRBF.create(
             sigma=1.1, lengthscale=0.9, group_diff_param=0.6,
             n_groups=G, L=L)
@@ -42,6 +43,12 @@ def _build_model(kind, whitened, per_factor, jitter, key):
             mu=0.3 * jax.random.normal(kmu, (L, m_tot)),
             Lu_raw=0.3 * jax.random.normal(klu, (L, m_tot, m_tot)),
         )
+    if kind.startswith("hybrid"):
+        # hybrid head: GP spatial half + mean-field half, T=2 factors
+        prior2 = gz.gps.GaussianPrior.create(
+            jax.random.fold_in(key, 9), N, L=2, scale_pf=0.3)
+        return gz.models.HybridNSF.create(
+            jax.random.fold_in(key, 3), gp, prior2, D, N, L=L, T=2)
     cls_m = gz.models.MGGPNSF if kind == "mggp" else gz.models.NSF
     return cls_m.create(jax.random.fold_in(key, 3), gp, D=D, N=N, L=L)
 
@@ -56,7 +63,7 @@ def _draw_configs(n_cfg, seed=12345):
     cfgs = []
     for _ in range(n_cfg):
         cfgs.append(dict(
-            kind=pick(["plain", "mggp"]),
+            kind=pick(["plain", "mggp", "hybrid", "hybrid-mggp"]),
             whitened=bool(r.integers(2)),
             per_factor=bool(r.integers(2)),
             jitter=pick([1e-1, 1e-3]),
@@ -81,17 +88,19 @@ def test_random_flag_combination_matches_generic(cfg, rng):
     counts = rng.poisson(3.0, (D, N)).astype(np.float64)
     x, y = jnp.asarray(coords), jnp.asarray(counts)
     groups = jnp.asarray(rng.integers(0, G, N)) \
-        if cfg["kind"] == "mggp" else None
+        if "mggp" in cfg["kind"] else None
     key = jax.random.PRNGKey(11)
     model = _build_model(cfg["kind"], cfg["whitened"], cfg["per_factor"],
                          cfg["jitter"], jax.random.PRNGKey(5))
     idx = jax.random.choice(jax.random.PRNGKey(2), N, (B,), replace=False)
 
     gen_kw = {"groups_x": groups} if groups is not None else {}
+    generic = (negative_elbo_hybrid_batched
+               if cfg["kind"].startswith("hybrid")
+               else negative_elbo_batched)
 
     def ref_loss(m):
-        return negative_elbo_batched(m, x, y, idx, key, E=cfg["E"],
-                                     **gen_kw)
+        return generic(m, x, y, idx, key, E=cfg["E"], **gen_kw)
 
     def fast_loss(m):
         return nsf_negative_elbo_batched(
