@@ -33,6 +33,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def assert_descends(first_losses, last_losses, label):
+    """Quality gate: the run's loss must descend from the first (warmup)
+    chunk to the last timed chunk, compared by CHUNK MEANS — minibatch
+    legs sample a fresh random batch per step, so adjacent losses are
+    noisy and a first-vs-last-sample check over a short warmup chunk is
+    flaky (a fail-soft certification leg must not fail on sampling
+    noise). Full-batch legs pass this trivially when they pass the
+    stricter per-sample check."""
+    first = float(np.mean(np.asarray(first_losses)))
+    last = float(np.mean(np.asarray(last_losses)))
+    assert last < first, (
+        f"{label}: loss must descend over the run "
+        f"(chunk means {first:.4e} -> {last:.4e})")
+
+
 def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
                   microbatch=None, loss="pre", holdout=None,
                   checkpoint=None, chol_precision=None):
@@ -321,9 +336,7 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     log(f"frozen path compile+warmup: {time.perf_counter()-t0:.1f}s "
         f"loss[0]={float(losses[0]):.4e} loss[-1]={float(losses[-1]):.4e}")
     assert np.all(np.isfinite(np.asarray(losses)))
-    assert float(losses[-1]) < float(losses[0]), (
-        "frozen-geometry warmup loss must descend "
-        f"({float(losses[0]):.4e} -> {float(losses[-1]):.4e})")
+    warmup_losses = np.asarray(losses)
     times_pre = []
     for c in range(chunks):
         t0 = time.perf_counter()
@@ -333,6 +346,8 @@ def run_vnngp_bench(chunk, chunks, quick=False):
         log(f"frozen chunk {c}: {times_pre[-1]:.3f}s -> "
             f"{chunk/times_pre[-1]:.1f} steps/s")
     rate_frozen = chunk / min(times_pre)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert_descends(warmup_losses, losses, "vnngp frozen-geometry")
     del state_pre, cond
 
     # All-trainable leg (Z, kernel, mu/Lu, W/V; per-step neighbor
@@ -351,9 +366,7 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     log(f"compile+warmup ({chunk} steps): {time.perf_counter()-t0:.1f}s "
         f"loss[0]={float(losses[0]):.4e} loss[-1]={float(losses[-1]):.4e}")
     assert np.all(np.isfinite(np.asarray(losses)))
-    assert float(losses[-1]) < float(losses[0]), (
-        "all-trainable warmup loss must descend "
-        f"({float(losses[0]):.4e} -> {float(losses[-1]):.4e})")
+    warmup_losses = np.asarray(losses)
     times = []
     for c in range(chunks):
         t0 = time.perf_counter()
@@ -362,6 +375,8 @@ def run_vnngp_bench(chunk, chunks, quick=False):
         times.append(time.perf_counter() - t0)
         log(f"chunk {c}: {times[-1]:.3f}s -> {chunk/times[-1]:.1f} steps/s")
     rate = chunk / min(times)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert_descends(warmup_losses, losses, "vnngp all-trainable")
 
     # full-100k posterior forward (the Pallas SoA K×K conditioning)
     from gpzoo_tpu.predict import latent_posterior
@@ -594,7 +609,16 @@ def run_slideseq_hybrid_bench(chunk, chunks, quick=False):
         f"{time.perf_counter()-t0:.1f}s loss[0]={float(losses[0]):.4e} "
         f"loss[-1]={float(losses[-1]):.4e}")
     assert np.all(np.isfinite(np.asarray(losses)))
-    assert float(losses[-1]) < float(losses[0])
+    warmup_losses = np.asarray(losses)
+    # widen the descent window: short certification chunks (6 steps in
+    # --workload all) put the first and last chunk means only ~12 steps
+    # apart — inside minibatch noise even on a converging run. A few
+    # extra warmup chunks (already compiled; ~0.4 s/step) make the gate
+    # compare means ~40+ steps apart, where descent dominates noise.
+    for _ in range(4):
+        state, losses = runner(state, x, y_t)
+    jax.block_until_ready(losses)
+    assert np.all(np.isfinite(np.asarray(losses)))
     times = []
     for c in range(chunks):
         t0 = time.perf_counter()
@@ -604,6 +628,8 @@ def run_slideseq_hybrid_bench(chunk, chunks, quick=False):
         log(f"slideseq-hybrid chunk {c}: {times[-1]:.3f}s -> "
             f"{chunk/times[-1]:.2f} steps/s "
             f"(loss {float(losses[-1]):.4e})")
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert_descends(warmup_losses, losses, "slideseq-hybrid")
     val_dev = _hybrid_val_deviance(state.model, x, y_t, n_train, N,
                                    groups=g, y_transposed=True)
     log(f"slideseq-hybrid validation Poisson deviance "
@@ -633,6 +659,17 @@ def run_nsf_sweep_bench(steps=1500, chunk=500, quick=False):
 
 
 def main():
+    # Persistent compilation cache: the certification run compiles ~10
+    # distinct full-scale programs (hybrid §6 alone is ~3.5 min of XLA);
+    # caching them makes reruns of the same committed shapes start in
+    # seconds. Must be set before jax initializes (the legs import jax
+    # lazily). Harmless if the backend can't serialize executables.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "10")
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="small shapes (CI / smoke)")

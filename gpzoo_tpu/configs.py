@@ -235,7 +235,9 @@ class SlideseqHybridMGGPConfig:
     MGGP_SVGP(M=215×14 groups=3010, MGGP_NSF_RBF(σ=1, ℓ=4, α=0.7),
     jitter=1e-2) + T=10 mean-field factors, batch 6000, E=3, all three
     kernel hyperparameters frozen (cell 32), Adam (the notebook ramps
-    OneCycleLR to 1e-3; a flat 1e-4 base is used here). In production the
+    OneCycleLR to a 1e-3 peak; a flat 1e-3 is used here — at its 1e-4
+    base the warm-start-less synthetic loss descends too slowly to
+    clear minibatch noise in a short certification window). In production the
     model comes from :func:`gpzoo_tpu.warmstart.hybrid_mggp_from_pnmf`;
     ``build`` constructs the same shapes synthetically."""
 
@@ -249,7 +251,7 @@ class SlideseqHybridMGGPConfig:
     lengthscale: float = 4.0
     group_diff_param: float = 0.7
     jitter: float = 1e-2
-    lr: float = 1e-4
+    lr: float = 1e-3
     E: int = 3
     batch_size: int = 6000
     steps: int = 24_000
