@@ -662,14 +662,16 @@ def main():
     # Persistent compilation cache: the certification run compiles ~10
     # distinct full-scale programs (hybrid §6 alone is ~3.5 min of XLA);
     # caching them makes reruns of the same committed shapes start in
-    # seconds. Must be set before jax initializes (the legs import jax
-    # lazily). Harmless if the backend can't serialize executables.
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
+    # seconds. jax 0.9.0 ignores the JAX_COMPILATION_CACHE_DIR env var
+    # (probed: "cache is disabled/not initialized"), so set it through
+    # the config API — importing jax here is cheap (backends initialize
+    # lazily, on first device use inside the legs).
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
-                          "10")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="small shapes (CI / smoke)")
