@@ -3,6 +3,7 @@ from gpzoo_tpu.ops.linalg import (
     add_jitter,
     cholesky_mm,
     embed_distance_matrix,
+    reshape_param,
     safe_sqrt,
     spd_inverse_from_cholesky,
     sqrt_safe_grad,
@@ -24,6 +25,7 @@ __all__ = [
     "spd_inverse_from_cholesky",
     "sqrt_safe_grad",
     "embed_distance_matrix",
+    "reshape_param",
     "tri_inverse",
     "tril_logdet",
     "tri_kl_trace",

@@ -60,6 +60,18 @@ def svgp_forward(kxx_diag, kzz, w, inducing_mean, inducing_cov):
     return mean, cov_diag
 
 
+def reshape_param(param):
+    """Flatten leading batch dims of a ``(..., M, M)`` array to
+    ``(B, M, M)`` (utilities.py:377-380).
+
+    Host-side convenience for code migrating from the reference; the
+    functional pytree design never reshapes parameters in place, so the
+    library itself has no call site (matching the reference, where it is
+    also unused).
+    """
+    return jnp.reshape(param, (-1,) + param.shape[-2:])
+
+
 def tril_logdet(l):
     """``Σ log diag(L)`` over the trailing two dims, batched.
 

@@ -11,6 +11,7 @@ from gpzoo_tpu.ops import (
     add_jitter,
     cdist,
     embed_distance_matrix,
+    reshape_param,
     safe_sqrt,
     squared_dist,
     svgp_forward,
@@ -101,6 +102,20 @@ def test_embed_distance_matrix_reproduces_distances():
         )
     )
     np.testing.assert_allclose(rec, d, atol=2e-3)
+
+
+def test_reshape_param_matches_reference(rng):
+    """Parity vs utilities.reshape_param (utilities.py:377-380): flatten
+    leading batch dims of a (..., M, M) array to (B, M, M)."""
+    x = rng.standard_normal((2, 3, 4, 4))
+    got = np.asarray(reshape_param(jnp.asarray(x)))
+    assert got.shape == (6, 4, 4)
+    torch = pytest.importorskip("torch")
+    import parity_utils
+
+    ref = parity_utils.import_reference()
+    want = ref.utilities.reshape_param(torch.as_tensor(x)).numpy()
+    np.testing.assert_array_equal(got, want)
 
 
 def test_safe_sqrt_gradient_finite():
