@@ -232,13 +232,27 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
     return best, val_dev
 
 
-def _val_poisson_deviance(model, proj, y_t, vidx):
-    """Mean per-entry Poisson deviance 2[y log(y/mu) - (y - mu)] of
-    held-out counts under the plug-in rate mu = sp(V) * sp(W) exp(E[F])."""
-    import jax
+def _plugin_rate_deviance(v_raw_v, halves, y_dv):
+    """The ONE deviance convention every quality gate shares: plug-in rate
+    mu = sp(V)·Σᵢ sp(Wᵢ) exp(E[Fᵢ]) (one half for NSF/VNNGP, two for the
+    hybrids), mean per-entry Poisson deviance 2[y log(y/mu) − (y − mu)]
+    over (D, B_holdout) counts. Trace-time helper — call inside the leg's
+    jitted deviance function; only the posterior-mean construction is
+    leg-specific."""
     import jax.numpy as jnp
     from gpzoo_tpu.bijectors import softplus
     from gpzoo_tpu.data.metrics import poisson_deviance
+
+    rate = softplus(v_raw_v) * sum(
+        softplus(w_raw) @ jnp.exp(fmean) for w_raw, fmean in halves
+    )
+    return poisson_deviance(y_dv, rate)
+
+
+def _val_poisson_deviance(model, proj, y_t, vidx):
+    """Held-out deviance with E[F] from the precomputed projection."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def dev(model, proj, y_t, vidx):
@@ -246,10 +260,8 @@ def _val_poisson_deviance(model, proj, y_t, vidx):
         mu_l = jnp.atleast_2d(jnp.asarray(gp.mu))
         pt = proj.proj_t[vidx]
         fmean = jnp.einsum("lm,bm->lb", mu_l, pt)
-        rate = softplus(model.V_raw[vidx]) * (
-            softplus(model.W_raw) @ jnp.exp(fmean)
-        )
-        return poisson_deviance(y_t[vidx].T, rate)  # (D, B) counts
+        return _plugin_rate_deviance(
+            model.V_raw[vidx], [(model.W_raw, fmean)], y_t[vidx].T)
 
     return dev(model, proj, y_t, jnp.asarray(vidx, jnp.int32))
 
@@ -398,16 +410,12 @@ def run_vnngp_bench(chunk, chunks, quick=False):
 
     # Held-out quality — the fast-AND-right gate the NSF/MGGP legs have:
     # plug-in Poisson deviance on the spots the sampler never saw, using
-    # the full posterior mean just computed.
-    from gpzoo_tpu.bijectors import softplus as _sp
-    from gpzoo_tpu.data.metrics import poisson_deviance
-
+    # the full posterior mean just computed (shared rate/deviance
+    # convention: _plugin_rate_deviance).
     @jax.jit
     def _dev(model, fmean, y_tv, vidx):
-        r = _sp(model.V_raw[vidx]) * (
-            _sp(model.W_raw) @ jnp.exp(fmean[..., vidx])
-        )
-        return poisson_deviance(y_tv.T, r)
+        return _plugin_rate_deviance(
+            model.V_raw[vidx], [(model.W_raw, fmean[..., vidx])], y_tv.T)
 
     vidx = jnp.arange(n_train, N)
     val_dev = float(_dev(state.model, mean, y_t[n_train:], vidx))
@@ -534,20 +542,17 @@ def _hybrid_val_deviance(model, x, y, lo, hi, groups=None,
     from the GP posterior and the mean-field mean gathered per spot."""
     import jax
     import jax.numpy as jnp
-    from gpzoo_tpu.bijectors import softplus
-    from gpzoo_tpu.data.metrics import poisson_deviance
     from gpzoo_tpu.predict import latent_posterior
 
     @jax.jit
     def dev(model, xv, yv, gv, vidx):
         with jax.default_matmul_precision("highest"):
             mean, _ = latent_posterior(model.sf.prior, xv, groups=gv)
-        rate = softplus(model.V_raw[vidx]) * (
-            softplus(model.sf.W_raw) @ jnp.exp(mean)
-            + softplus(model.cf.W_raw)
-            @ jnp.exp(model.cf.prior.mean[:, vidx])
-        )
-        return poisson_deviance(yv, rate)
+        return _plugin_rate_deviance(
+            model.V_raw[vidx],
+            [(model.sf.W_raw, mean),
+             (model.cf.W_raw, model.cf.prior.mean[:, vidx])],
+            yv)
 
     vidx = jnp.arange(lo, hi)
     gv = None if groups is None else groups[lo:hi]

@@ -40,6 +40,7 @@ from flax import struct
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, softplus
 from gpzoo_tpu.gps.svgp import SVGP, WSVGP
+from gpzoo_tpu.models.factorization import HybridNSFExact
 from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_inverse_mm,
                                   cholesky_mm, spd_inverse_from_cholesky,
                                   sqrt_safe_grad, tri_inverse, tril_logdet,
@@ -87,15 +88,23 @@ def _split_head(model):
     ``poisson_head`` owns ``W_raw``; ``gp`` is the spatial prior. For
     :class:`~gpzoo_tpu.models.HybridNSF` the head is the spatial half
     ``model.sf`` and ``hybrid`` is True — the mean-field half is read off
-    ``model.cf`` by the caller. :class:`~gpzoo_tpu.models.LegacyHybridNSF`
-    is rejected: its raw (un-softplus'd) concatenated loadings
-    (likelihoods.py:287-293) need the trainer-side clamp and don't fit the
-    softplus-rate scan body — use ``negative_elbo_hybrid_batched``.
+    ``model.cf`` by the caller. Two heads are rejected loudly:
+    :class:`~gpzoo_tpu.models.LegacyHybridNSF` (raw un-softplus'd
+    concatenated loadings, likelihoods.py:287-293, need the trainer-side
+    clamp) and :class:`~gpzoo_tpu.models.HybridNSFExact` (deterministic
+    lognormal-mean rate, not the MC-sampling objective this scan body
+    computes) — use ``negative_elbo_hybrid_batched`` for both.
     """
     if hasattr(model, "W2_raw"):
         raise NotImplementedError(
             "LegacyHybridNSF's raw-loadings rate is not supported by the "
             "fast path; use train.elbo.negative_elbo_hybrid_batched"
+        )
+    if isinstance(model, HybridNSFExact):
+        raise NotImplementedError(
+            "HybridNSFExact's deterministic lognormal-mean rate "
+            "(likelihoods.py:182-202) doesn't fit the MC-sampling scan "
+            "body; use train.elbo.negative_elbo_hybrid_batched"
         )
     if hasattr(model, "sf") and hasattr(model, "cf"):
         return model.sf, model.sf.prior, True

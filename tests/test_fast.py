@@ -845,3 +845,17 @@ def test_hybrid_legacy_rejected(hybrid_setup):
     with pytest.raises(NotImplementedError):
         nsf_negative_elbo_batched(legacy, x, y, idx, key, E=1,
                                   microbatch=16)
+
+
+def test_hybrid_exact_rejected(hybrid_setup):
+    """HybridNSFExact must NOT silently dispatch into the MC-sampling
+    hybrid fast path — its objective is the deterministic lognormal-mean
+    ELBO (likelihoods.py:182-202), a different value."""
+    _, x, y, idx, key = hybrid_setup
+    mc = _hybrid_model(jax.random.PRNGKey(33))
+    exact = gz.models.HybridNSFExact(sf=mc.sf, cf=mc.cf, V_raw=mc.V_raw)
+    with pytest.raises(NotImplementedError):
+        nsf_negative_elbo_batched(exact, x, y, idx, key, E=1,
+                                  microbatch=16)
+    with pytest.raises(NotImplementedError):
+        precompute_nsf_projection(exact, x)
