@@ -58,7 +58,7 @@ def main():
     snap = PosteriorSnapshotter(X[probe], every=1, logger=logger)
     runner = make_scan_runner(step, args.chunk, on_chunk=snap)
 
-    for _ in range(args.steps // args.chunk):
+    for _ in range(max(1, args.steps // args.chunk)):
         state, losses = runner(state, X, Y)
     print(f"{len(snap.history)} snapshots over {args.steps} steps; "
           f"last loss {float(losses[-1]):.3e}")

@@ -69,9 +69,10 @@ def main():
     state = TrainState.create(pnmf, opt, key)
     step = make_train_step(pnmf_negative_elbo, opt,
                            static_kwargs={"E": 1, "unnormalized": True})
-    runner = make_scan_runner(step, 100)
+    chunk1 = max(1, min(100, args.pnmf_steps))
+    runner = make_scan_runner(step, chunk1)
     t0 = time.perf_counter()
-    for _ in range(args.pnmf_steps // 100):
+    for _ in range(max(1, args.pnmf_steps // chunk1)):
         state, losses = runner(state, y)
     print(f"PNMF: {args.pnmf_steps} steps in {time.perf_counter()-t0:.1f}s, "
           f"loss {float(losses[-1]):.4e}")
@@ -96,10 +97,11 @@ def main():
         num_points=args.N, batch_size=args.batch,
         static_kwargs={"E": 3, "groups_x": groups},
     )
-    runner2 = make_scan_runner(step2, 100)
+    chunk2 = max(1, min(100, args.steps))
+    runner2 = make_scan_runner(step2, chunk2)
     t0 = time.perf_counter()
     first = last = None
-    for c in range(args.steps // 100):
+    for c in range(max(1, args.steps // chunk2)):
         state2, losses = runner2(state2, x, y)
         if first is None:
             first = float(losses[0])
