@@ -88,23 +88,18 @@ def _split_head(model):
     ``poisson_head`` owns ``W_raw``; ``gp`` is the spatial prior. For
     :class:`~gpzoo_tpu.models.HybridNSF` the head is the spatial half
     ``model.sf`` and ``hybrid`` is True — the mean-field half is read off
-    ``model.cf`` by the caller. Two heads are rejected loudly:
-    :class:`~gpzoo_tpu.models.LegacyHybridNSF` (raw un-softplus'd
-    concatenated loadings, likelihoods.py:287-293, need the trainer-side
-    clamp) and :class:`~gpzoo_tpu.models.HybridNSFExact` (deterministic
-    lognormal-mean rate, not the MC-sampling objective this scan body
-    computes) — use ``negative_elbo_hybrid_batched`` for both.
+    ``model.cf`` by the caller; :class:`~gpzoo_tpu.models.HybridNSFExact`
+    (a ``HybridNSF`` subclass) takes the same dispatch — the ELBO bodies
+    swap the reparameterized draw for its deterministic lognormal mean.
+    :class:`~gpzoo_tpu.models.LegacyHybridNSF` is rejected loudly: its
+    raw un-softplus'd concatenated loadings (likelihoods.py:287-293)
+    need the trainer-side clamp and don't fit the softplus-rate scan
+    body — use ``negative_elbo_hybrid_batched``.
     """
     if hasattr(model, "W2_raw"):
         raise NotImplementedError(
             "LegacyHybridNSF's raw-loadings rate is not supported by the "
             "fast path; use train.elbo.negative_elbo_hybrid_batched"
-        )
-    if isinstance(model, HybridNSFExact):
-        raise NotImplementedError(
-            "HybridNSFExact's deterministic lognormal-mean rate "
-            "(likelihoods.py:182-202) doesn't fit the MC-sampling scan "
-            "body; use train.elbo.negative_elbo_hybrid_batched"
         )
     if hasattr(model, "sf") and hasattr(model, "cf"):
         return model.sf, model.sf.prior, True
@@ -212,7 +207,13 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     (the configuration the A/B measured); "highest" everywhere else.
     """
     head, gp, hybrid = _split_head(model)
-    if hybrid:
+    # HybridNSFExact (likelihoods.py:182-202): the rate uses the
+    # deterministic lognormal mean exp(μ + ½σ²) instead of MC draws — no
+    # keys are consumed, no E axis exists, and the generic path's
+    # mean(axis=0) then averages over D (a reference quirk replicated
+    # for bit-compatibility).
+    exact = isinstance(model, HybridNSFExact)
+    if hybrid and not exact:
         # HybridNSF.batched splits the key: k1 → the GP half's draws,
         # k2 → the mean-field half's (factorization.py:163-167). Matching
         # the split keeps the fast loss bit-compatible with the generic
@@ -398,9 +399,10 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         scale2 = softplus(prior2.scale_raw[:, idx])
         w2_sp = softplus(model.cf.W_raw)  # (D, T)
         kl = kl + _meanfield_kl(mean2, scale2, prior2.scale_pf)
-        # bit-identical to Normal.sample(k2, (E,)) on the (T, B) slice
-        eps2 = jax.random.normal(key2, (E,) + mean2.shape,
-                                 dtype=jnp.result_type(mean2))
+        if not exact:
+            # bit-identical to Normal.sample(k2, (E,)) on the (T, B) slice
+            eps2 = jax.random.normal(key2, (E,) + mean2.shape,
+                                     dtype=jnp.result_type(mean2))
 
     # Per-step factored precomputations (see docstring). Every per-chunk
     # projection is a matmul (no triangular solves anywhere):
@@ -459,7 +461,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     eps_dtype = jnp.result_type(
         x.dtype, jnp.asarray(mu).dtype,
         jax.eval_shape(lambda: kernel.diag(x[:1])).dtype)
-    eps = jax.random.normal(key, eps_shape, dtype=eps_dtype)
+    eps = (None if exact
+           else jax.random.normal(key, eps_shape, dtype=eps_dtype))
 
     w_sp = softplus(head.W_raw)  # (D, L)
     v_sp = softplus(model.V_raw[idx])  # (B,)
@@ -490,7 +493,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     dummy = jnp.zeros((nc, 1))
     xs = (
         chunk(x_batch, 0),  # (nc, mb, dim)
-        chunk(eps, eps.ndim - 1),  # (nc, E, L, mb) / (nc, E, mb)
+        # (nc, E, L, mb) / (nc, E, mb); dummy on the draw-free exact path
+        chunk(eps, eps.ndim - 1) if not exact else dummy,
         chunk(v_sp, 0),  # (nc, mb)
         chunk(y_batch, 1),  # (nc, D, mb)
         (chunk(groups_batch, 0) if groups_batch is not None
@@ -498,7 +502,8 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
         # hybrid mean-field half, chunked along spots (dummies otherwise)
         chunk(mean2, 1) if hybrid else dummy,  # (nc, T, mb)
         chunk(scale2, 1) if hybrid else dummy,  # (nc, T, mb)
-        chunk(eps2, eps2.ndim - 1) if hybrid else dummy,  # (nc, E, T, mb)
+        (chunk(eps2, eps2.ndim - 1) if hybrid and not exact
+         else dummy),  # (nc, E, T, mb)
     )
 
     def chunk_ll(xc, epsc, vc, yc, gc, m2c, s2c, e2c):
@@ -589,10 +594,21 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             wd = jnp.einsum("...nm,...mk->...nk", w, s - kzz)
             cov = kxx + jnp.sum(wd * w, -1)
             scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
-        f = mean + scale * epsc  # (E, L, mb)
+        if exact:
+            # lognormal mean E[e^F] = exp(μ + ½σ²) (likelihoods.py:
+            # 182-202) — no E axis; mean(axis=0) below then averages
+            # over D exactly like the generic _expected_ll on the
+            # exact head's (D, B) log-prob.
+            f = mean + 0.5 * jnp.square(scale)  # (L, mb)
+            # shared-mu configs leave the marginal unbatched here; the
+            # MC path gets the L axis from eps's qf_batch shape
+            f = jnp.broadcast_to(f, qf_batch + f.shape[-1:])
+        else:
+            f = mean + scale * epsc  # (E, L, mb)
         rate = jnp.einsum("dl,...ln->...dn", w_sp, jnp.exp(f))
         if hybrid:
-            f2 = m2c + s2c * e2c  # (E, T, mb)
+            f2 = (m2c + 0.5 * jnp.square(s2c) if exact
+                  else m2c + s2c * e2c)  # (T, mb) / (E, T, mb)
             rate = rate + jnp.einsum("dt,...tn->...dn", w2_sp, jnp.exp(f2))
         rate = vc * rate
         py = dists.Poisson(rate)
@@ -738,7 +754,8 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     path's trajectory up to float reassociation.
     """
     head, gp, hybrid = _split_head(model)
-    if hybrid:
+    exact = isinstance(model, HybridNSFExact)  # draw-free lognormal mean
+    if hybrid and not exact:
         key, key2 = jax.random.split(key)  # HybridNSF.batched's (k1, k2)
     lu = lower_cholesky(gp.Lu_raw)
     lu_l = lu if lu.ndim == 3 else lu[None]
@@ -763,9 +780,15 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     mean, cov = jnp.broadcast_arrays(mean, cov)
     scale = sqrt_safe_grad(cov)
 
-    eps = jax.random.normal(key, (E,) + mean.shape, dtype=mean.dtype)
-    f = mean + scale * eps  # (E, L, B)
-    rate = jnp.einsum("dl,eln->edn", softplus(head.W_raw), jnp.exp(f))
+    if exact:
+        # lognormal mean E[e^F] = exp(μ + ½σ²) (likelihoods.py:182-202);
+        # no E axis — mean(axis=0) below averages over D like the
+        # generic _expected_ll on the exact head's (D, B) log-prob.
+        f = mean + 0.5 * jnp.square(scale)  # (L, B)
+    else:
+        eps = jax.random.normal(key, (E,) + mean.shape, dtype=mean.dtype)
+        f = mean + scale * eps  # (E, L, B)
+    rate = jnp.einsum("dl,...ln->...dn", softplus(head.W_raw), jnp.exp(f))
     kl2 = 0.0
     if hybrid:
         # mean-field half: per-spot gather + reparameterized draw with the
@@ -774,10 +797,13 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
         prior2 = model.cf.prior
         mean2 = prior2.mean[:, idx]  # (T, B)
         scale2 = softplus(prior2.scale_raw[:, idx])
-        eps2 = jax.random.normal(key2, (E,) + mean2.shape,
-                                 dtype=jnp.result_type(mean2))
-        f2 = mean2 + scale2 * eps2
-        rate = rate + jnp.einsum("dt,etn->edn", softplus(model.cf.W_raw),
+        if exact:
+            f2 = mean2 + 0.5 * jnp.square(scale2)  # (T, B)
+        else:
+            eps2 = jax.random.normal(key2, (E,) + mean2.shape,
+                                     dtype=jnp.result_type(mean2))
+            f2 = mean2 + scale2 * eps2
+        rate = rate + jnp.einsum("dt,...tn->...dn", softplus(model.cf.W_raw),
                                  jnp.exp(f2))
         kl2 = _meanfield_kl(mean2, scale2, prior2.scale_pf)
     rate = softplus(model.V_raw[idx]) * rate

@@ -847,15 +847,43 @@ def test_hybrid_legacy_rejected(hybrid_setup):
                                   microbatch=16)
 
 
-def test_hybrid_exact_rejected(hybrid_setup):
-    """HybridNSFExact must NOT silently dispatch into the MC-sampling
-    hybrid fast path — its objective is the deterministic lognormal-mean
-    ELBO (likelihoods.py:182-202), a different value."""
+def _exact_model(seed=33, whitened=False):
+    mc = _hybrid_model(jax.random.PRNGKey(seed), whitened=whitened)
+    return gz.models.HybridNSFExact(sf=mc.sf, cf=mc.cf, V_raw=mc.V_raw)
+
+
+def test_hybrid_exact_matches_generic(hybrid_setup):
+    """HybridNSFExact dispatches into the fast path with the
+    deterministic lognormal-mean rate (likelihoods.py:182-202) — NOT the
+    MC-sampling objective (which differs by ~8x on this model)."""
     _, x, y, idx, key = hybrid_setup
-    mc = _hybrid_model(jax.random.PRNGKey(33))
-    exact = gz.models.HybridNSFExact(sf=mc.sf, cf=mc.cf, V_raw=mc.V_raw)
-    with pytest.raises(NotImplementedError):
-        nsf_negative_elbo_batched(exact, x, y, idx, key, E=1,
-                                  microbatch=16)
-    with pytest.raises(NotImplementedError):
-        precompute_nsf_projection(exact, x)
+    model = _exact_model()
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    for mb in (64, 16):
+        fast = nsf_negative_elbo_batched(model, x, y, idx, key, E=2,
+                                         microbatch=mb)
+        assert float(fast) == pytest.approx(float(ref), rel=1e-10), mb
+    g_ref = jax.grad(
+        lambda m: negative_elbo_hybrid_batched(m, x, y, idx, key, E=2)
+    )(model)
+    g_fast = jax.grad(
+        lambda m: nsf_negative_elbo_batched(m, x, y, idx, key, E=2,
+                                            microbatch=16)
+    )(model)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fast),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+@pytest.mark.parametrize("whitened", [False, True])
+def test_hybrid_exact_precomputed_matches_generic(hybrid_setup, whitened):
+    _, x, y, idx, key = hybrid_setup
+    model = _exact_model(seed=35, whitened=whitened)
+    proj = precompute_nsf_projection(model, x)
+    ref = negative_elbo_hybrid_batched(model, x, y, idx, key, E=2)
+    pre = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    assert float(pre) == pytest.approx(float(ref), rel=1e-8)

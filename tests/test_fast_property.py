@@ -47,8 +47,13 @@ def _build_model(kind, whitened, per_factor, jitter, key):
         # hybrid head: GP spatial half + mean-field half, T=2 factors
         prior2 = gz.gps.GaussianPrior.create(
             jax.random.fold_in(key, 9), N, L=2, scale_pf=0.3)
-        return gz.models.HybridNSF.create(
+        hyb = gz.models.HybridNSF.create(
             jax.random.fold_in(key, 3), gp, prior2, D, N, L=L, T=2)
+        if kind.endswith("exact"):
+            # draw-free lognormal-mean head (likelihoods.py:182-202)
+            hyb = gz.models.HybridNSFExact(
+                sf=hyb.sf, cf=hyb.cf, V_raw=hyb.V_raw)
+        return hyb
     cls_m = gz.models.MGGPNSF if kind == "mggp" else gz.models.NSF
     return cls_m.create(jax.random.fold_in(key, 3), gp, D=D, N=N, L=L)
 
@@ -63,7 +68,8 @@ def _draw_configs(n_cfg, seed=12345):
     cfgs = []
     for _ in range(n_cfg):
         cfgs.append(dict(
-            kind=pick(["plain", "mggp", "hybrid", "hybrid-mggp"]),
+            kind=pick(["plain", "mggp", "hybrid", "hybrid-mggp",
+                       "hybrid-exact"]),
             whitened=bool(r.integers(2)),
             per_factor=bool(r.integers(2)),
             jitter=pick([1e-1, 1e-3]),
