@@ -56,9 +56,10 @@ def main():
     probe = np.random.default_rng(0).choice(N, size=400, replace=False)
     logger = MetricLogger()
     snap = PosteriorSnapshotter(X[probe], every=1, logger=logger)
-    runner = make_scan_runner(step, args.chunk, on_chunk=snap)
+    chunk = max(1, min(args.chunk, args.steps))  # never run extra steps
+    runner = make_scan_runner(step, chunk, on_chunk=snap)
 
-    for _ in range(max(1, args.steps // args.chunk)):
+    for _ in range(args.steps // chunk):
         state, losses = runner(state, X, Y)
     print(f"{len(snap.history)} snapshots over {args.steps} steps; "
           f"last loss {float(losses[-1]):.3e}")

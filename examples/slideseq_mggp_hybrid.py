@@ -51,6 +51,8 @@ def main():
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=1000)
     args = p.parse_args()
+    if args.pnmf_steps < 1 or args.steps < 1:
+        p.error("--pnmf-steps and --steps must be >= 1")
 
     key = jax.random.PRNGKey(509)  # cell 15's seed callout
     coords, counts, _ = gz.data.simulate_nsf_counts(
@@ -69,10 +71,10 @@ def main():
     state = TrainState.create(pnmf, opt, key)
     step = make_train_step(pnmf_negative_elbo, opt,
                            static_kwargs={"E": 1, "unnormalized": True})
-    chunk1 = max(1, min(100, args.pnmf_steps))
+    chunk1 = min(100, args.pnmf_steps)  # chunk1 <= steps → loop runs >= 1
     runner = make_scan_runner(step, chunk1)
     t0 = time.perf_counter()
-    for _ in range(max(1, args.pnmf_steps // chunk1)):
+    for _ in range(args.pnmf_steps // chunk1):
         state, losses = runner(state, y)
     print(f"PNMF: {args.pnmf_steps} steps in {time.perf_counter()-t0:.1f}s, "
           f"loss {float(losses[-1]):.4e}")
@@ -97,11 +99,11 @@ def main():
         num_points=args.N, batch_size=args.batch,
         static_kwargs={"E": 3, "groups_x": groups},
     )
-    chunk2 = max(1, min(100, args.steps))
+    chunk2 = min(100, args.steps)  # chunk2 <= steps → loop runs >= 1
     runner2 = make_scan_runner(step2, chunk2)
     t0 = time.perf_counter()
     first = last = None
-    for c in range(max(1, args.steps // chunk2)):
+    for c in range(args.steps // chunk2):
         state2, losses = runner2(state2, x, y)
         if first is None:
             first = float(losses[0])

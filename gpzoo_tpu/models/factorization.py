@@ -196,6 +196,10 @@ class HybridNSFExact(HybridNSF):
         return py, qf1, qu, pu, qf2, pf2
 
     def batched(self, x, idx, key=None, E=10, **kwargs):
+        # full-length groups_x sliced here, like HybridNSF.batched —
+        # idx is sampled inside the jitted step
+        if kwargs.get("groups_x") is not None:
+            kwargs = dict(kwargs, groups_x=kwargs["groups_x"][idx])
         qf1, qu, pu = self.sf.prior(x[idx], **kwargs)
         qf2, pf2 = self.cf.prior.batched(idx)
         f1 = qf1.mean + 0.5 * jnp.square(qf1.scale)

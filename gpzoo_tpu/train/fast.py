@@ -109,6 +109,17 @@ def _split_head(model):
     return model, gp, False
 
 
+def _exact_f(mean, scale):
+    """HybridNSFExact's draw-free log-rate: μ + ½σ² so the rate uses the
+    lognormal mean E[e^F] = exp(μ + ½σ²) (likelihoods.py:182-202). No E
+    axis exists, so the downstream mean(axis=0) averages over D — the
+    generic ``_expected_ll`` quirk on the exact head's (D, B) log-prob,
+    replicated for bit-compatibility. Used by BOTH fast paths (batched
+    and precomputed), GP and mean-field halves alike — keep them in
+    lockstep here."""
+    return mean + 0.5 * jnp.square(scale)
+
+
 def _meanfield_kl(mean2, scale2, scale_pf):
     """Σ KL(N(m, s²) ‖ N(0, scale_pf²)) over a (T, B) mean-field slice —
     the hybrid head's second KL term (utilities.py:512-516)."""
@@ -595,11 +606,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             cov = kxx + jnp.sum(wd * w, -1)
             scale = jnp.sqrt(jnp.clip(cov, min=gp.var_floor))
         if exact:
-            # lognormal mean E[e^F] = exp(μ + ½σ²) (likelihoods.py:
-            # 182-202) — no E axis; mean(axis=0) below then averages
-            # over D exactly like the generic _expected_ll on the
-            # exact head's (D, B) log-prob.
-            f = mean + 0.5 * jnp.square(scale)  # (L, mb)
+            f = _exact_f(mean, scale)  # (L, mb)
             # shared-mu configs leave the marginal unbatched here; the
             # MC path gets the L axis from eps's qf_batch shape
             f = jnp.broadcast_to(f, qf_batch + f.shape[-1:])
@@ -607,7 +614,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
             f = mean + scale * epsc  # (E, L, mb)
         rate = jnp.einsum("dl,...ln->...dn", w_sp, jnp.exp(f))
         if hybrid:
-            f2 = (m2c + 0.5 * jnp.square(s2c) if exact
+            f2 = (_exact_f(m2c, s2c) if exact
                   else m2c + s2c * e2c)  # (T, mb) / (E, T, mb)
             rate = rate + jnp.einsum("dt,...tn->...dn", w2_sp, jnp.exp(f2))
         rate = vc * rate
@@ -781,10 +788,7 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     scale = sqrt_safe_grad(cov)
 
     if exact:
-        # lognormal mean E[e^F] = exp(μ + ½σ²) (likelihoods.py:182-202);
-        # no E axis — mean(axis=0) below averages over D like the
-        # generic _expected_ll on the exact head's (D, B) log-prob.
-        f = mean + 0.5 * jnp.square(scale)  # (L, B)
+        f = _exact_f(mean, scale)  # (L, B)
     else:
         eps = jax.random.normal(key, (E,) + mean.shape, dtype=mean.dtype)
         f = mean + scale * eps  # (E, L, B)
@@ -798,7 +802,7 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
         mean2 = prior2.mean[:, idx]  # (T, B)
         scale2 = softplus(prior2.scale_raw[:, idx])
         if exact:
-            f2 = mean2 + 0.5 * jnp.square(scale2)  # (T, B)
+            f2 = _exact_f(mean2, scale2)  # (T, B)
         else:
             eps2 = jax.random.normal(key2, (E,) + mean2.shape,
                                      dtype=jnp.result_type(mean2))

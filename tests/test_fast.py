@@ -793,6 +793,18 @@ def test_hybrid_mggp_matches_generic(key, rng):
                                      groups=groups)
     assert float(fast) == pytest.approx(float(ref), rel=1e-8)
 
+    # the exact head over the same MGGP spatial half (regression: the
+    # HybridNSFExact.batched override must slice full-length groups_x
+    # like HybridNSF.batched — it crashed on shape mismatch before)
+    exact = gz.models.HybridNSFExact(sf=model.sf, cf=model.cf,
+                                     V_raw=model.V_raw)
+    ref_e = negative_elbo_hybrid_batched(exact, coords, counts, idx, key,
+                                         E=2, groups_x=groups)
+    fast_e = nsf_negative_elbo_batched(exact, coords, counts, idx, key,
+                                       E=2, microbatch=16, factored=True,
+                                       groups=groups)
+    assert float(fast_e) == pytest.approx(float(ref_e), rel=1e-8)
+
 
 def test_hybrid_precomputed_matches_generic(hybrid_setup):
     """Frozen-geometry hybrid: the precomputed-projection loss equals the

@@ -69,7 +69,7 @@ def _draw_configs(n_cfg, seed=12345):
     for _ in range(n_cfg):
         cfgs.append(dict(
             kind=pick(["plain", "mggp", "hybrid", "hybrid-mggp",
-                       "hybrid-exact"]),
+                       "hybrid-exact", "hybrid-mggp-exact"]),
             whitened=bool(r.integers(2)),
             per_factor=bool(r.integers(2)),
             jitter=pick([1e-1, 1e-3]),
