@@ -33,6 +33,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Reference-GPU baseline rows (BASELINE.md; the reference's own executed
+# notebook outputs) — shared by the single-workload branches and the
+# --workload all certification block so the two can't drift apart.
+HYBRID_GPU_REF = 21.7       # NSF_Hybrid_benchmark.ipynb (cell 23)
+PNMF_GPU_REF = 463.0        # PNMF_benchmarks.ipynb (cell 14)
+NSF_SWEEP_GPU_REF = {100: 128.0, 250: 85.0, 500: 50.0, 1000: 22.0}
+                            # NSF_benchmarks.ipynb (cells 17-20)
+
+
 def assert_descends(first_losses, last_losses, label):
     """Quality gate: the run's loss must descend from the first (warmup)
     chunk to the last timed chunk, compared by CHUNK MEANS — minibatch
@@ -50,7 +59,7 @@ def assert_descends(first_losses, last_losses, label):
 
 def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
                   microbatch=None, loss="pre", holdout=None,
-                  checkpoint=None, chol_precision=None):
+                  checkpoint=None, chol_precision=None, rank=0):
     import jax
 
     # Matmul precision: the fast path pins its Cholesky/solves to HIGHEST
@@ -79,8 +88,11 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
     counts_t = rng.poisson(3.0, size=(N, D)).astype(np.float32)
     x, y = jnp.asarray(coords), jnp.asarray(counts_t)
 
+    if rank and loss != "pre":
+        raise ValueError("rank > 0 (LowRankWSVGP) rides the precomputed "
+                         "projection path only (--loss pre)")
     cfg = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, batch_size=batch,
-                               jitter=jitter)
+                               jitter=jitter, rank=rank)
     model = cfg.build(key, x)
 
     mask = trainable_mask(model, cfg.trainable)
@@ -704,6 +716,12 @@ def main():
                         "assert the loss trajectory resumes bit-identically"
                         " (the deterministic-resume contract at the real "
                         "~2.9 GB state size)")
+    p.add_argument("--rank", type=int, default=0,
+                   help="NSF workload only: > 0 swaps the full (L, M, M) "
+                        "variational Cholesky for the beyond-reference "
+                        "low-rank-plus-diagonal family "
+                        "(gps.LowRankWSVGP) at this rank — O(M·rank) "
+                        "state, no M×M tensor in the step")
     p.add_argument("--chol-precision", choices=("high", "highest"),
                    default=None,
                    help="NSF --loss fast only: matmul precision of the "
@@ -764,7 +782,7 @@ def main():
             "metric": "pnmf_steps_per_sec",
             "value": round(value, 3),
             "unit": "steps/s",
-            "vs_baseline": round(value / 463.0, 2),  # GPU cell 14 row
+            "vs_baseline": round(value / PNMF_GPU_REF, 2),
         }))
         return
 
@@ -776,7 +794,7 @@ def main():
             "metric": "hybrid_nsf_steps_per_sec",
             "value": round(value, 3),
             "unit": "steps/s",
-            "vs_baseline": round(value / 21.7, 2),  # GPU cell 23 row
+            "vs_baseline": round(value / HYBRID_GPU_REF, 2),
             "hybrid_val_deviance": round(vdev, 4),
         }))
         return
@@ -796,13 +814,13 @@ def main():
 
     if args.workload == "sweep":
         rates = run_nsf_sweep_bench(quick=args.quick)
-        ref_gpu = {100: 128.0, 250: 85.0, 500: 50.0, 1000: 22.0}
         print(json.dumps({
             "metric": "nsf_sweep_steps_per_sec",
             "value": {str(m): round(r, 1) for m, r in rates.items()},
             "unit": "steps/s per M",
-            "vs_baseline": {str(m): round(r / ref_gpu[m], 1)
-                            for m, r in rates.items() if m in ref_gpu},
+            "vs_baseline": {str(m): round(r / NSF_SWEEP_GPU_REF[m], 1)
+                            for m, r in rates.items()
+                            if m in NSF_SWEEP_GPU_REF},
         }))
         return
 
@@ -813,17 +831,28 @@ def main():
         shapes = dict(N=45_000, D=4_000, L=20, M=3_000, batch=7_000)
         metric = "slideseq_nsf_steps_per_sec"
 
-    value, val_dev = run_nsf_bench(**shapes, chunk=args.steps_per_chunk,
-                                   chunks=args.chunks,
-                                   microbatch=args.microbatch,
-                                   loss=args.loss,
-                                   checkpoint=args.checkpoint,
-                                   chol_precision=args.chol_precision)
+    # The primary leg is fail-soft too under --workload all: a tunnel
+    # hiccup in the north-star run must not erase the artifact — the
+    # secondary legs still certify, and the error rides the JSON line.
+    nsf_error = None
+    try:
+        value, val_dev = run_nsf_bench(**shapes, chunk=args.steps_per_chunk,
+                                       chunks=args.chunks,
+                                       microbatch=args.microbatch,
+                                       loss=args.loss,
+                                       checkpoint=args.checkpoint,
+                                       chol_precision=args.chol_precision,
+                                       rank=args.rank)
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        if args.workload != "all":
+            raise  # single-leg invocations keep the loud traceback
+        log(f"NSF north-star leg FAILED: {e!r}")
+        nsf_error, value, val_dev = f"{type(e).__name__}: {e}", None, None
 
     vs_baseline = None
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "reference_baseline.json")
-    if not args.quick and os.path.exists(ref_path):
+    if value is not None and not args.quick and os.path.exists(ref_path):
         with open(ref_path) as f:
             ref = json.load(f)
         base = ref.get("slideseq_nsf_steps_per_sec")
@@ -834,11 +863,14 @@ def main():
 
     out = {
         "metric": metric,
-        "value": round(value, 3),
+        "value": round(value, 3) if value is not None else None,
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "val_poisson_deviance": round(val_dev, 4),
+        "val_poisson_deviance": (round(val_dev, 4)
+                                 if val_dev is not None else None),
     }
+    if nsf_error:
+        out["nsf_error"] = nsf_error
     if args.workload == "all":
         # Certify the other two headline workloads in the same driver
         # run (round-3 verdict item 1): a handful of full-scale MGGP
@@ -849,7 +881,24 @@ def main():
         # Fail-soft: a crash in a secondary certification leg (tunnel
         # hiccup, transient OOM) must not destroy the whole artifact —
         # the NSF number and any leg that did complete still print.
-        gc.collect()  # drop the NSF run's device buffers before MGGP
+        gc.collect()  # drop the NSF run's device buffers
+        log("=== NSF north star, low-rank q(u) "
+            "(beyond-reference certification leg) ===")
+        try:
+            # same shapes/methodology as the primary leg; rank 64 ≈ 2% of
+            # the full family's M=3000 columns, 47× fewer posterior-term
+            # FLOPs. Only run at full scale — the quick shapes' M=256
+            # step is dispatch-bound either way.
+            if not args.quick:
+                lrk_rate, lrk_dev = run_nsf_bench(
+                    **shapes, chunk=args.steps_per_chunk,
+                    chunks=args.chunks, loss="pre", rank=64)
+                out["nsf_lowrank_steps_per_sec"] = round(lrk_rate, 3)
+                out["nsf_lowrank_val_deviance"] = round(lrk_dev, 4)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            log(f"NSF low-rank certification leg FAILED: {e!r}")
+            out["nsf_lowrank_error"] = f"{type(e).__name__}: {e}"
+        gc.collect()
         log("=== MGGP-NSF full-scale (short certification run) ===")
         try:
             mggp_rate = run_mggp_bench(chunk=6, chunks=2, quick=args.quick)
@@ -875,7 +924,7 @@ def main():
             hy_rate, hy_dev = run_hybrid_bench(chunk=30, chunks=2,
                                                quick=args.quick)
             out["hybrid_steps_per_sec"] = round(hy_rate, 3)
-            out["hybrid_vs_gpu_ref"] = round(hy_rate / 21.7, 2)
+            out["hybrid_vs_gpu_ref"] = round(hy_rate / HYBRID_GPU_REF, 2)
             out["hybrid_val_deviance"] = round(hy_dev, 4)
         except Exception as e:  # noqa: BLE001
             log(f"hybrid certification leg FAILED: {e!r}")
@@ -896,7 +945,7 @@ def main():
             pnmf_rate = run_pnmf_bench(chunk=500, chunks=2,
                                        quick=args.quick)
             out["pnmf_steps_per_sec"] = round(pnmf_rate, 3)
-            out["pnmf_vs_gpu_ref"] = round(pnmf_rate / 463.0, 2)
+            out["pnmf_vs_gpu_ref"] = round(pnmf_rate / PNMF_GPU_REF, 2)
         except Exception as e:  # noqa: BLE001
             log(f"PNMF certification leg FAILED: {e!r}")
             out["pnmf_error"] = f"{type(e).__name__}: {e}"
@@ -904,12 +953,11 @@ def main():
         log("=== NSF M-sweep (short certification run) ===")
         try:
             rates = run_nsf_sweep_bench(quick=args.quick)
-            ref_gpu = {100: 128.0, 250: 85.0, 500: 50.0, 1000: 22.0}
             out["nsf_sweep_steps_per_sec"] = {
                 str(m): round(r, 1) for m, r in rates.items()}
             out["nsf_sweep_vs_gpu_ref"] = {
-                str(m): round(r / ref_gpu[m], 1)
-                for m, r in rates.items() if m in ref_gpu}
+                str(m): round(r / NSF_SWEEP_GPU_REF[m], 1)
+                for m, r in rates.items() if m in NSF_SWEEP_GPU_REF}
         except Exception as e:  # noqa: BLE001
             log(f"NSF sweep certification leg FAILED: {e!r}")
             out["nsf_sweep_error"] = f"{type(e).__name__}: {e}"

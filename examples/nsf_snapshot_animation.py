@@ -39,6 +39,8 @@ def main():
                    help="steps per snapshot (the reference uses 10)")
     p.add_argument("--out", default="nsf_snapshots")
     args = p.parse_args()
+    if args.steps < 1 or args.chunk < 1:
+        p.error("--steps and --chunk must be >= 1")
 
     key = jax.random.PRNGKey(0)
     N, D, L = 1500, 40, 4
@@ -56,12 +58,13 @@ def main():
     probe = np.random.default_rng(0).choice(N, size=400, replace=False)
     logger = MetricLogger()
     snap = PosteriorSnapshotter(X[probe], every=1, logger=logger)
-    chunk = max(1, min(args.chunk, args.steps))  # never run extra steps
+    chunk = min(args.chunk, args.steps)  # never run extra steps
     runner = make_scan_runner(step, chunk, on_chunk=snap)
 
+    ran = (args.steps // chunk) * chunk  # whole chunks only; be truthful
     for _ in range(args.steps // chunk):
         state, losses = runner(state, X, Y)
-    print(f"{len(snap.history)} snapshots over {args.steps} steps; "
+    print(f"{len(snap.history)} snapshots over {ran} steps; "
           f"last loss {float(losses[-1]):.3e}")
     print("percentile series:",
           [f"{r['qf_mean_p50']:.2f}" for r in snap.records[:5]], "...")

@@ -74,9 +74,10 @@ def main():
     chunk1 = min(100, args.pnmf_steps)  # chunk1 <= steps → loop runs >= 1
     runner = make_scan_runner(step, chunk1)
     t0 = time.perf_counter()
+    ran1 = (args.pnmf_steps // chunk1) * chunk1  # whole chunks; be truthful
     for _ in range(args.pnmf_steps // chunk1):
         state, losses = runner(state, y)
-    print(f"PNMF: {args.pnmf_steps} steps in {time.perf_counter()-t0:.1f}s, "
+    print(f"PNMF: {ran1} steps in {time.perf_counter()-t0:.1f}s, "
           f"loss {float(losses[-1]):.4e}")
 
     # ---- stages 2-5: Moran split + warm-started hybrid (cell 29) -------
@@ -103,14 +104,15 @@ def main():
     runner2 = make_scan_runner(step2, chunk2)
     t0 = time.perf_counter()
     first = last = None
+    ran2 = (args.steps // chunk2) * chunk2  # whole chunks; be truthful
     for c in range(args.steps // chunk2):
         state2, losses = runner2(state2, x, y)
         if first is None:
             first = float(losses[0])
         last = float(losses[-1])
     dt = time.perf_counter() - t0
-    print(f"hybrid fine-tune: {args.steps} steps in {dt:.1f}s "
-          f"({args.steps/dt:.1f} steps/s), loss {first:.4e} -> {last:.4e}")
+    print(f"hybrid fine-tune: {ran2} steps in {dt:.1f}s "
+          f"({ran2/dt:.1f} steps/s), loss {first:.4e} -> {last:.4e}")
 
     # posterior spatial factors at all spots (cell 37)
     qf1, _, _ = state2.model.sf.prior(x, groups_x=groups)

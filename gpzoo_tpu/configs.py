@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import optax
 
 from gpzoo_tpu import kernels, gps, models
-from gpzoo_tpu.bijectors import lower_cholesky_inverse
+from gpzoo_tpu.bijectors import (lower_cholesky_inverse,
+                                 softplus_inverse)
 
 
 @dataclasses.dataclass
@@ -372,23 +373,44 @@ class SlideseqNSFConfig:
     # cells 25-26: the 18k-step run also freezes the kernel hyperparams —
     # only mu/Lu (and the head's W/V) train.
     freeze_kernel: bool = True
+    # rank > 0: beyond-reference low-rank-plus-diagonal variational
+    # covariance (gps.LowRankWSVGP) instead of the full (L, M, M)
+    # Cholesky — O(M·rank) state, no M×M tensor in the training step.
+    # 0 (default) keeps the reference's full parameterization.
+    rank: int = 0
 
     def build(self, key, X):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         kernel = kernels.NSFRBF.create(
             sigma=self.sigma, lengthscale=self.lengthscale, L=self.L
         )
-        gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M, jitter=self.jitter)
         idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
                                 replace=self.M > X.shape[0])
-        gp = gp.replace(
-            Z=jnp.asarray(X)[idx],
-            mu=jax.random.normal(k4, (self.L, self.M)),
-            # Lu = identity: raw zeros map through exp-diag to I.
-            Lu_raw=lower_cholesky_inverse(
-                jnp.broadcast_to(jnp.eye(self.M), (self.L, self.M, self.M))
-            ),
-        )
+        if self.rank > 0:
+            gp = gps.LowRankWSVGP.create(k1, kernel, dim=2, M=self.M,
+                                         rank=self.rank, jitter=self.jitter)
+            kv = jax.random.fold_in(k1, 7)
+            gp = gp.replace(
+                Z=jnp.asarray(X)[idx],
+                mu=jax.random.normal(k4, (self.L, self.M)),
+                # D = I matches the full config's Lu = I start; V must be
+                # nonzero (exact 0 is a stationary point in V).
+                V=1e-2 * jax.random.normal(kv, (self.L, self.M, self.rank)),
+                d_raw=jnp.broadcast_to(softplus_inverse(jnp.asarray(1.0)),
+                                       (self.L, self.M)),
+            )
+        else:
+            gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M,
+                                 jitter=self.jitter)
+            gp = gp.replace(
+                Z=jnp.asarray(X)[idx],
+                mu=jax.random.normal(k4, (self.L, self.M)),
+                # Lu = identity: raw zeros map through exp-diag to I.
+                Lu_raw=lower_cholesky_inverse(
+                    jnp.broadcast_to(jnp.eye(self.M),
+                                     (self.L, self.M, self.M))
+                ),
+            )
         return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
 
     def trainable(self, path: str) -> bool:

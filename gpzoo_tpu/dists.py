@@ -75,8 +75,14 @@ class MultivariateNormalTril:
 
     def log_prob(self, x):
         diff = x - self.loc
+        # broadcast batch dims like torch (sample dims on x vs the
+        # distribution's batch): XLA's triangular_solve requires equal
+        # batch ranks.
+        tril = jnp.broadcast_to(
+            self.scale_tril, diff.shape[:-1] + self.scale_tril.shape[-2:]
+        )
         sol = jax.scipy.linalg.solve_triangular(
-            self.scale_tril, diff[..., None], lower=True
+            tril, diff[..., None], lower=True
         )[..., 0]
         from gpzoo_tpu.ops.linalg import tril_logdet
 
@@ -119,6 +125,84 @@ class Poisson:
         normalized ``log_prob``, utilities.py:611.) Same ``xlogy``
         (y=0, rate=0) limit handling as :meth:`log_prob`."""
         return jax.scipy.special.xlogy(x, self.rate) - self.rate
+
+
+@struct.dataclass
+class LowRankMultivariateNormal:
+    """MVN with covariance ``diag(cov_diag) + cov_factor cov_factorᵀ``.
+
+    Mirrors ``torch.distributions.LowRankMultivariateNormal``:
+    ``loc`` (..., M), ``cov_factor`` (..., M, r), ``cov_diag`` (..., M)
+    strictly positive VARIANCES. All dense algebra is O(M r² + r³) via
+    the Woodbury identity / matrix determinant lemma — the covariance is
+    never materialized. This is the variational family of
+    :class:`gpzoo_tpu.gps.LowRankWSVGP`, built so the M×M inducing
+    Cholesky (the measured step floor of the full parameterization at
+    north-star scale) disappears from the training state entirely.
+    """
+
+    loc: Any
+    cov_factor: Any
+    cov_diag: Any
+
+    @property
+    def mean(self):
+        return self.loc
+
+    def variance(self):
+        return self.cov_diag + jnp.sum(jnp.square(self.cov_factor), axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        """Reparameterized: loc + V ε_r + sqrt(diag) ε_M."""
+        batch = jnp.broadcast_shapes(
+            jnp.shape(self.loc), jnp.shape(self.cov_factor)[:-1]
+        )
+        kr, km = jax.random.split(key)
+        dtype = jnp.result_type(self.loc)
+        r = jnp.shape(self.cov_factor)[-1]
+        shape_r = tuple(sample_shape) + batch[:-1] + (r,)
+        eps_r = jax.random.normal(kr, shape_r, dtype=dtype)
+        eps_m = jax.random.normal(km, tuple(sample_shape) + batch,
+                                  dtype=dtype)
+        return (
+            self.loc
+            + jnp.einsum("...mr,...r->...m", self.cov_factor, eps_r)
+            + jnp.sqrt(self.cov_diag) * eps_m
+        )
+
+    def _capacitance_tril(self):
+        """chol(I_r + Vᵀ D⁻¹ V) — the r×r core of Woodbury/det-lemma."""
+        vt_dinv = self.cov_factor / self.cov_diag[..., None]  # D⁻¹V
+        r = self.cov_factor.shape[-1]
+        cap = jnp.eye(r, dtype=self.cov_factor.dtype) + jnp.einsum(
+            "...mi,...mj->...ij", self.cov_factor, vt_dinv
+        )
+        return jnp.linalg.cholesky(cap)
+
+    def log_prob(self, x):
+        from gpzoo_tpu.ops.linalg import tril_logdet
+
+        diff = x - self.loc
+        dinv_diff = diff / self.cov_diag
+        vt_dinv_diff = jnp.einsum("...mr,...m->...r", self.cov_factor,
+                                  dinv_diff)
+        cap_tril = self._capacitance_tril()
+        # broadcast sample dims of x against the distribution batch
+        # (XLA's triangular_solve requires equal batch ranks)
+        cap_b = jnp.broadcast_to(
+            cap_tril, vt_dinv_diff.shape[:-1] + cap_tril.shape[-2:]
+        )
+        sol = jax.scipy.linalg.solve_triangular(
+            cap_b, vt_dinv_diff[..., None], lower=True
+        )[..., 0]
+        maha = jnp.sum(diff * dinv_diff, axis=-1) - jnp.sum(sol * sol,
+                                                            axis=-1)
+        m = jnp.shape(self.loc)[-1]
+        half_logdet = (
+            0.5 * jnp.sum(jnp.log(self.cov_diag), axis=-1)
+            + tril_logdet(cap_tril)
+        )
+        return -0.5 * (maha + m * _LOG_2PI) - half_logdet
 
 
 def kl_normal_normal(q: Normal, p: Normal):

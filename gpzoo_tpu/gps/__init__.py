@@ -1,4 +1,4 @@
-from gpzoo_tpu.gps.svgp import SVGP, WSVGP
+from gpzoo_tpu.gps.svgp import SVGP, WSVGP, LowRankWSVGP
 from gpzoo_tpu.gps.mggp import MGGPSVGP, MGGPWSVGP
 from gpzoo_tpu.gps.vnngp import VNNGP
 from gpzoo_tpu.gps.gaussian_prior import GaussianPrior
@@ -10,6 +10,7 @@ MGGP_WSVGP = MGGPWSVGP
 __all__ = [
     "SVGP",
     "WSVGP",
+    "LowRankWSVGP",
     "MGGPSVGP",
     "MGGPWSVGP",
     "VNNGP",

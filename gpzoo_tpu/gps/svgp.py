@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gpzoo_tpu import dists
-from gpzoo_tpu.bijectors import lower_cholesky
+from gpzoo_tpu.bijectors import lower_cholesky, softplus, softplus_inverse
 from gpzoo_tpu.ops.linalg import add_jitter, sqrt_safe_grad, svgp_forward
 
 
@@ -160,5 +160,88 @@ class WSVGP:
         ``Kxx`` is replaced by the kernel variance σ² (valid for stationary
         kernels). Used when Z and the kernel are frozen so W is computed
         once for the full dataset and batches are row-gathers of it."""
+        kxx = self.kernel.variance_vector()
+        return self._tail(kxx, w)
+
+
+@struct.dataclass
+class LowRankWSVGP:
+    """Whitened SVGP with a low-rank-plus-diagonal variational covariance.
+
+    Beyond-reference extension (no counterpart in /root/reference; the
+    closest concept is torch's ``LowRankMultivariateNormal``): the
+    whitened inducing posterior is q(v) = N(μ, D + VVᵀ) with ``V``
+    (…, M, r) and ``D = diag(softplus(d_raw)²)`` instead of the full
+    (…, M, M) Cholesky ``Lu``. At north-star scale (L=20, M=3000) the
+    full Lu is 720 MB and its (L, M, M)×(M, B) posterior contraction +
+    Adam traffic set the measured step floor (docs/PERFORMANCE.md); the
+    low-rank family replaces both with O(M·r) state and O(r·M·B)
+    matmuls, at the cost of restricting q's covariance to
+    Lzz (D + VVᵀ) Lzzᵀ in u-space.
+
+    Contract matches :class:`WSVGP`: ``gp(x) → (qF, qU, pU=None)`` with
+    ``qU`` a :class:`gpzoo_tpu.dists.LowRankMultivariateNormal`; the
+    training KL is :func:`gpzoo_tpu.ops.linalg.lowrank_whitened_kl`
+    (closed form against N(0, I), matrix-determinant-lemma logdet).
+    """
+
+    kernel: Any
+    Z: Any
+    mu: Any
+    V: Any
+    d_raw: Any
+    jitter: float = struct.field(pytree_node=False, default=1e-4)
+
+    @classmethod
+    def create(cls, key, kernel, dim=1, M=50, rank=16, jitter=1e-4,
+               v_scale=1e-2):
+        """Init: Z ~ N(0,1), μ = 0, D = I (the full config's Lu = I
+        start), V ~ v_scale·N(0,1) — V must not start at exactly 0,
+        which is a stationary point of both the KL and the posterior
+        variance in V (all V-gradients vanish there)."""
+        kz, kv = jax.random.split(key)
+        return cls(
+            kernel=kernel,
+            Z=jax.random.normal(kz, (M, dim)),
+            mu=jnp.zeros((M,)),
+            V=v_scale * jax.random.normal(kv, (M, rank)),
+            d_raw=jnp.full((M,), softplus_inverse(jnp.asarray(1.0))),
+            jitter=jitter,
+        )
+
+    @property
+    def rank(self):
+        return self.V.shape[-1]
+
+    def _gram(self, x, **kwargs):
+        kxx = self.kernel.diag(x)
+        kzx = self.kernel.gram(self.Z, x)
+        kzz = add_jitter(self.kernel.gram(self.Z, self.Z), self.jitter)
+        return kxx, kzx, kzz
+
+    def __call__(self, x, **kwargs):
+        kxx, kzx, kzz = self._gram(x, **kwargs)
+        lzz = jnp.linalg.cholesky(kzz)
+        wt = jax.scipy.linalg.solve_triangular(lzz, kzx, lower=True)
+        w = jnp.swapaxes(wt, -2, -1)  # (…, N, M) = Kxz Lzz⁻ᵀ
+        return self._tail(kxx, w)
+
+    def _tail(self, kxx, w):
+        d = softplus(self.d_raw)
+        var_diag = jnp.square(d)
+        # diag(W S Wᵀ) = Σ_m D_mm W²_nm + Σ_k (W V)²_nk — no M×M tensor.
+        cov_diag = jnp.clip(kxx - jnp.sum(jnp.square(w), axis=-1), min=0.0)
+        cov_diag = cov_diag + jnp.einsum("...nm,...m->...n",
+                                         jnp.square(w), var_diag)
+        wv = jnp.einsum("...nm,...mk->...nk", w, self.V)
+        cov_diag = cov_diag + jnp.sum(jnp.square(wv), axis=-1)
+        mean = jnp.einsum("...nm,...m->...n", w, self.mu)
+        qf = dists.Normal(mean, sqrt_safe_grad(cov_diag))
+        qu = dists.LowRankMultivariateNormal(self.mu, self.V, var_diag)
+        return qf, qu, None
+
+    def forward_precomputed(self, w, **kwargs):
+        """Posterior from a frozen projection matrix W (see
+        :meth:`WSVGP.forward_precomputed`)."""
         kxx = self.kernel.variance_vector()
         return self._tail(kxx, w)

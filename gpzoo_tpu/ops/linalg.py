@@ -103,6 +103,35 @@ def whitened_kl(mz, lz):
     return 0.5 * kl
 
 
+def lowrank_whitened_kl(mz, v, var_diag):
+    """Closed-form KL(N(m, D + VVᵀ) ‖ N(0, I)) for the low-rank-plus-
+    diagonal variational family (``var_diag`` = diag(D), variances).
+
+    KL = ½[tr(D) + ‖V‖²_F + ‖m‖² − M − logdet(D + VVᵀ)], with the logdet
+    by the matrix determinant lemma:
+    logdet = Σ log D_ii + logdet(I_r + Vᵀ D⁻¹ V) — an r×r Cholesky, so
+    the whole KL is O(M r² + r³); no M×M tensor exists anywhere (the
+    point of :class:`gpzoo_tpu.gps.LowRankWSVGP`). Batched over leading
+    dims of ``v`` (..., M, r) / ``var_diag`` (..., M) / ``mz`` (..., M).
+    """
+    m = v.shape[-2]
+    r = v.shape[-1]
+    cap = jnp.eye(r, dtype=v.dtype) + jnp.einsum(
+        "...mi,...mj->...ij", v, v / var_diag[..., None]
+    )
+    logdet = jnp.sum(jnp.log(var_diag), axis=-1) + 2.0 * tril_logdet(
+        jnp.linalg.cholesky(cap)
+    )
+    kl = (
+        jnp.sum(var_diag, axis=-1)
+        + jnp.sum(jnp.square(v), axis=(-2, -1))
+        + jnp.sum(jnp.square(mz), axis=-1)
+        - m
+        - logdet
+    )
+    return 0.5 * kl
+
+
 def embed_distance_matrix(distance_matrix, eps=1e-6):
     """Classical MDS embedding of a distance matrix (utilities.py:459-469).
 

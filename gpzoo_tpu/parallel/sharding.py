@@ -72,7 +72,9 @@ def shard_columns(mesh, array, axis_name="data"):
 # over a "factor" mesh axis is the tensor-parallel strategy of SURVEY.md
 # §2.7 — L independent M×M Choleskys partitioned across chips when L×M³
 # (plus Adam moments: ×3) exceeds one chip's HBM.
-FACTOR_PARAM_NAMES = ("mu", "Lu_raw", "sigma", "lengthscale")
+FACTOR_PARAM_NAMES = ("mu", "Lu_raw", "sigma", "lengthscale",
+                      "V", "d_raw")  # V/d_raw: LowRankWSVGP's (L, M, r)
+                                     # factor and (L, M) diagonal
 
 
 def _leaf_name(path):

@@ -29,13 +29,18 @@ import jax.numpy as jnp
 
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import softplus
-from gpzoo_tpu.ops.linalg import whitened_kl
+from gpzoo_tpu.ops.linalg import lowrank_whitened_kl, whitened_kl
 
 
 def _gp_kl(qu, pu):
     """KL(qU‖pU): MVN-MVN when the prior is explicit, whitened closed form
-    when pU is None (WSVGP contract, gp.py:304-306)."""
+    when pU is None (WSVGP contract, gp.py:304-306; the low-rank family
+    of :class:`gpzoo_tpu.gps.LowRankWSVGP` gets the matrix-determinant-
+    lemma form)."""
     if pu is None:
+        if isinstance(qu, dists.LowRankMultivariateNormal):
+            return jnp.sum(lowrank_whitened_kl(
+                qu.loc, qu.cov_factor, qu.cov_diag))
         return jnp.sum(whitened_kl(qu.loc, qu.scale_tril))
     return jnp.sum(dists.kl_divergence(qu, pu))
 

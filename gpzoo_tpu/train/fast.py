@@ -39,10 +39,11 @@ from flax import struct
 
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, softplus
-from gpzoo_tpu.gps.svgp import SVGP, WSVGP
+from gpzoo_tpu.gps.svgp import SVGP, WSVGP, LowRankWSVGP
 from gpzoo_tpu.models.factorization import HybridNSFExact
 from gpzoo_tpu.ops.linalg import (add_jitter, cholesky_inverse_mm,
-                                  cholesky_mm, spd_inverse_from_cholesky,
+                                  cholesky_mm, lowrank_whitened_kl,
+                                  spd_inverse_from_cholesky,
                                   sqrt_safe_grad, tri_inverse, tril_logdet,
                                   whitened_kl)
 from gpzoo_tpu.ops.tri_blocked import (tri_kl_trace, tri_matmul,
@@ -287,6 +288,15 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     # op's own inner context (the round-4 A/B no-op). HIGHEST unless a
     # measured A/B overrides (policy.py docstring); the Cholesky itself
     # is an XLA custom call either way.
+    if isinstance(gp, LowRankWSVGP):
+        raise NotImplementedError(
+            "LowRankWSVGP is supported by nsf_negative_elbo_precomputed "
+            "(its target workload freezes Z and the kernel, so the "
+            "projection precomputes) and by the generic "
+            "train.elbo.negative_elbo_batched for trainable geometry; "
+            "the blockwise fast path's per-chunk machinery is built "
+            "around the full Cholesky factor."
+        )
     if w_form:
         # bwd_blocked panel-blocks the five VJP products only where
         # it measured a win: 1.22× at a HIGHEST backward, 0.98× at
@@ -709,7 +719,8 @@ def precompute_nsf_projection(model, x, block=None):
     solve working set (default: one pass over all N).
     """
     _, gp, _ = _split_head(model)
-    whitened = isinstance(gp, WSVGP) and not isinstance(gp, SVGP)
+    whitened = (isinstance(gp, (WSVGP, LowRankWSVGP))
+                and not isinstance(gp, SVGP))
     kernel = _collapse_shared_kernel(gp.kernel)
     n = x.shape[0]
     block = n if block is None else block
@@ -762,23 +773,35 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     """
     head, gp, hybrid = _split_head(model)
     exact = isinstance(model, HybridNSFExact)  # draw-free lognormal mean
+    lowrank = isinstance(gp, LowRankWSVGP)
     if hybrid and not exact:
         key, key2 = jax.random.split(key)  # HybridNSF.batched's (k1, k2)
-    lu = lower_cholesky(gp.Lu_raw)
-    lu_l = lu if lu.ndim == 3 else lu[None]
     mu_l = jnp.atleast_2d(jnp.asarray(gp.mu))
-    m_dim = lu.shape[-1]
 
     pt = proj.proj_t[idx]  # (B, M) contiguous row gather
     at = pt.T  # (M, B): the dot-friendly orientation (one 84 MB relayout
     # beats XLA transposing the 720 MB lu operand inside the big fusion)
     with jax.default_matmul_precision("highest"):
         mean = jnp.einsum("lm,mb->lb", mu_l, at)
-    # Panel-blocked triangular contraction: skips Lu's structural-zero
-    # panels AND replaces the pathological ~45 ms monolithic XLA backward
-    # dLu fusion with per-panel dots (measured 47.6 → 26.6 ms fwd+bwd at
-    # this shape — ops/tri_blocked.py).
-    c2 = tri_sq_colsum(lu_l, at)  # (L, B)
+    if lowrank:
+        # Low-rank-plus-diagonal q(v): colsum(ãᵀ S ã) = D-weighted column
+        # norms + colsum((Vᵀã)²) — two thin matmuls (O((r+1)·M·B) FLOPs vs
+        # the full path's O(M²·B/2)); no (L, M, M) tensor exists.
+        d2_l = jnp.atleast_2d(jnp.square(softplus(gp.d_raw)))  # (Ld, M)
+        v_l = gp.V if gp.V.ndim == 3 else gp.V[None]  # (Lv, M, r)
+        c2 = jnp.einsum("lm,mb->lb", d2_l, jnp.square(at))
+        c2 = c2 + jnp.sum(
+            jnp.square(jnp.einsum("lmr,mb->lrb", v_l, at)), axis=-2
+        )
+    else:
+        lu = lower_cholesky(gp.Lu_raw)
+        lu_l = lu if lu.ndim == 3 else lu[None]
+        m_dim = lu.shape[-1]
+        # Panel-blocked triangular contraction: skips Lu's structural-zero
+        # panels AND replaces the pathological ~45 ms monolithic XLA
+        # backward dLu fusion with per-panel dots (measured 47.6 → 26.6 ms
+        # fwd+bwd at this shape — ops/tri_blocked.py).
+        c2 = tri_sq_colsum(lu_l, at)  # (L, B)
     base = jnp.asarray(proj.kxx) - proj.a2[idx]  # (B,) or (L, B)
     if proj.whitened:
         cov = jnp.clip(base, min=0.0) + c2
@@ -816,7 +839,10 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
     ll = jnp.sum(jnp.mean(lp, axis=0))
 
-    if proj.whitened:
+    if lowrank:
+        kl = jnp.sum(lowrank_whitened_kl(
+            gp.mu, gp.V, jnp.square(softplus(gp.d_raw))))
+    elif proj.whitened:
         kl = jnp.sum(whitened_kl(gp.mu, lu))
     else:
         trace = tri_kl_trace(proj.k_inv, lu_l)
