@@ -196,6 +196,38 @@ def test_lowrank_batched_fast_path_rejected(key, rng):
                                   microbatch=B, factored=True)
 
 
+def test_lowrank_checkpoint_roundtrip_deterministic(tmp_path, key, rng):
+    """Save/restore a low-rank TrainState mid-run: the next step's loss is
+    bit-identical (the deterministic-resume contract covers the new
+    V/d_raw leaves and their Adam moments)."""
+    import optax
+
+    from gpzoo_tpu.train import TrainState, make_batched_train_step
+    from gpzoo_tpu.train.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    coords = jnp.asarray(rng.uniform(-2, 2, (N, 2)))
+    counts = jnp.asarray(rng.poisson(3.0, (D, N)).astype(np.float64))
+    model = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, rank=R,
+                                 batch_size=B).build(key, coords)
+    proj = precompute_nsf_projection(model, coords)
+    opt = optax.adam(1e-3)
+    state = TrainState.create(model, opt, jax.random.PRNGKey(1))
+    step = make_batched_train_step(
+        nsf_negative_elbo_precomputed, opt, num_points=N, batch_size=B,
+        static_kwargs={"E": 1},
+    )
+    for _ in range(3):
+        state, _ = step(state, proj, counts)
+    path = save_checkpoint(str(tmp_path / "lr.msgpack"), state)
+    restored = restore_checkpoint(
+        path, TrainState.create(model, opt, jax.random.PRNGKey(1)))
+    assert int(restored.step) == 3
+    _, la = step(state, proj, counts)
+    _, lb = step(restored, proj, counts)
+    assert float(la) == float(lb)
+
+
 def test_lowrank_factor_tp_matches_replicated(key, rng):
     """Tensor parallelism over the factor axis: the (L, M, R) V, (L, M)
     d_raw/mu and their Adam moments sharded over 'factor' must train
