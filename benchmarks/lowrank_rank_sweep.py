@@ -55,7 +55,6 @@ def main():
     from gpzoo_tpu.train.fast import (nsf_negative_elbo_precomputed,
                                       precompute_nsf_projection)
 
-    key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
     coords = rng.uniform(-2, 2, size=(args.N, 2)).astype(np.float32)
     counts_t = rng.poisson(3.0, size=(args.N, args.D)).astype(np.float32)
@@ -66,6 +65,10 @@ def main():
     proj = None
     out = {}
     for r in args.ranks:
+        # fresh key per rank: the donate=True runner consumes the prior
+        # rank's TrainState — and with it the key buffer it was created
+        # from; reusing a donated key raises a backend error
+        key = jax.random.PRNGKey(0)
         cfg = gz.SlideseqNSFConfig(D=args.D, N=args.N, L=args.L, M=args.M,
                                    batch_size=args.batch, rank=r)
         model = cfg.build(key, x)

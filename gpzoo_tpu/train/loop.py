@@ -46,7 +46,14 @@ class TrainState:
             model=model,
             opt_state=optimizer.init(model),
             step=jnp.asarray(0, jnp.int32),
-            key=key,
+            # Defensive copy: donating the TrainState (make_scan_runner
+            # donate=True) would otherwise delete the CALLER's key buffer
+            # — a later jax.random call on it raises an opaque backend
+            # error. Copying the few bytes here makes the common
+            # "create state, keep using my key" pattern safe. (The model
+            # buffers are intentionally NOT copied — they are exactly
+            # what donation is for.)
+            key=jnp.copy(key),
         )
 
 
