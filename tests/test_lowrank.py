@@ -164,6 +164,43 @@ def test_lowrank_precomputed_matches_generic(key, rng):
             rtol=1e-8, atol=1e-12, err_msg=name)
 
 
+@pytest.mark.parametrize("shared_mu,rank,E", [
+    (True, 1, 1),    # degenerate rank, shared (M,) params
+    (True, 8, 2),
+    (False, 1, 2),
+    (False, 7, 1),   # non-power-of-two rank
+])
+def test_lowrank_precomputed_matrix(key, rng, shared_mu, rank, E):
+    """Precomputed-vs-generic equivalence across the low-rank flag matrix:
+    shared (M,)-shaped vs per-factor (L, M)-shaped variational params,
+    degenerate and odd ranks, E draws."""
+    kernel = gz.kernels.NSFRBF.create(L=L, sigma=1.1, lengthscale=0.9)
+    gp = gz.gps.LowRankWSVGP.create(key, kernel, dim=2, M=M, rank=rank,
+                                    jitter=1e-2)
+    if shared_mu:
+        gp = gp.replace(
+            mu=jnp.asarray(rng.normal(size=(M,))),
+            V=jnp.asarray(rng.normal(size=(M, rank))),
+            d_raw=jnp.asarray(rng.normal(size=(M,))),
+        )
+    else:
+        gp = gp.replace(
+            mu=jnp.asarray(rng.normal(size=(L, M))),
+            V=jnp.asarray(rng.normal(size=(L, M, rank))),
+            d_raw=jnp.asarray(rng.normal(size=(L, M))),
+        )
+    model = gz.models.NSF.create(jax.random.fold_in(key, 3), gp, D=D,
+                                 N=N, L=L)
+    coords = jnp.asarray(rng.uniform(-2, 2, (N, 2)))
+    counts = jnp.asarray(rng.poisson(3.0, (D, N)).astype(np.float64))
+    idx = jax.random.choice(jax.random.PRNGKey(2), N, (B,), replace=False)
+    kk = jax.random.PRNGKey(11)
+    proj = precompute_nsf_projection(model, coords)
+    gen = negative_elbo_batched(model, coords, counts, idx, kk, E=E)
+    fast = nsf_negative_elbo_precomputed(model, proj, counts, idx, kk, E=E)
+    assert float(fast) == pytest.approx(float(gen), rel=1e-9)
+
+
 def test_lowrank_hybrid_precomputed_matches_generic(key, rng):
     """HybridNSF over a low-rank spatial half: the precomputed fast loss
     equals the generic hybrid ELBO (the mean-field half is orthogonal to
