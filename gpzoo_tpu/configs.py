@@ -37,8 +37,11 @@ class SVGPRegressionConfig:
 
     def build(self, key):
         kernel = kernels.RBF(
-            sigma=jnp.asarray(self.sigma),
-            lengthscale=jnp.asarray(self.lengthscale),
+            # strong dtypes — weak-typed hyperparams recompile the
+            # training program after the first update
+            sigma=jnp.asarray(self.sigma, dtype=jnp.result_type(float)),
+            lengthscale=jnp.asarray(self.lengthscale,
+                                    dtype=jnp.result_type(float)),
         )
         cls = gps.WSVGP if self.whitened else gps.SVGP
         gp = cls.create(key, kernel, dim=1, M=self.M, jitter=self.jitter)
@@ -396,8 +399,12 @@ class SlideseqNSFConfig:
                 # D = I matches the full config's Lu = I start; V must be
                 # nonzero (exact 0 is a stationary point in V).
                 V=1e-2 * jax.random.normal(kv, (self.L, self.M, self.rank)),
-                d_raw=jnp.broadcast_to(softplus_inverse(jnp.asarray(1.0)),
-                                       (self.L, self.M)),
+                # full+dtype, not broadcast_to: a weak-typed leaf changes
+                # the jit signature after the first update (one wasted
+                # recompile of every training program)
+                d_raw=jnp.full((self.L, self.M),
+                               softplus_inverse(jnp.asarray(1.0)),
+                               dtype=jnp.result_type(float)),
             )
         else:
             gp = gps.SVGP.create(k1, kernel, dim=2, M=self.M,

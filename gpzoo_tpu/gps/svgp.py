@@ -205,7 +205,12 @@ class LowRankWSVGP:
             Z=jax.random.normal(kz, (M, dim)),
             mu=jnp.zeros((M,)),
             V=v_scale * jax.random.normal(kv, (M, rank)),
-            d_raw=jnp.full((M,), softplus_inverse(jnp.asarray(1.0))),
+            # explicit dtype: a weak-typed d_raw would silently change the
+            # jit signature after the first optimizer update (one wasted
+            # recompile of every training program — observed ~17 s at toy
+            # scale over the TPU tunnel)
+            d_raw=jnp.full((M,), softplus_inverse(jnp.asarray(1.0)),
+                           dtype=jnp.result_type(float)),
             jitter=jitter,
         )
 

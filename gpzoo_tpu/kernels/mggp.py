@@ -60,10 +60,14 @@ class MGGPRBF:
     @classmethod
     def create(cls, sigma=1.0, lengthscale=2.0, group_diff_param=1.0, n_groups=2,
                **kw):
+        # strong dtypes: weak-typed scalar hyperparams change the jit
+        # signature after the first optimizer update (one silent
+        # recompile of the training program)
+        f = jnp.result_type(float)
         return cls(
-            sigma=jnp.asarray(sigma),
-            lengthscale=jnp.asarray(lengthscale),
-            group_diff_param=jnp.asarray(group_diff_param),
+            sigma=jnp.asarray(sigma, dtype=f),
+            lengthscale=jnp.asarray(lengthscale, dtype=f),
+            group_diff_param=jnp.asarray(group_diff_param, dtype=f),
             embedding=_default_embedding(n_groups),
             **kw,
         )

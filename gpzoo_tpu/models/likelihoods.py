@@ -26,7 +26,10 @@ class GaussianLikelihood:
 
     @classmethod
     def create(cls, gp, noise=0.1):
-        return cls(gp=gp, noise_raw=jnp.asarray(noise))
+        # result_type(float): strong dtype — a weak-typed leaf silently
+        # recompiles the training program after the first update
+        return cls(gp=gp, noise_raw=jnp.asarray(
+            noise, dtype=jnp.result_type(float)))
 
     def __call__(self, x, key, E=1, **kwargs):
         qf, qu, pu = self.gp(x, **kwargs)
@@ -46,7 +49,10 @@ class ExactLikelihood:
 
     @classmethod
     def create(cls, gp, noise=0.1):
-        return cls(gp=gp, noise_raw=jnp.asarray(noise))
+        # result_type(float): strong dtype — a weak-typed leaf silently
+        # recompiles the training program after the first update
+        return cls(gp=gp, noise_raw=jnp.asarray(
+            noise, dtype=jnp.result_type(float)))
 
     def __call__(self, x, key=None, E=1, **kwargs):
         qf, qu, pu = self.gp(x, **kwargs)

@@ -233,6 +233,44 @@ def test_lowrank_batched_fast_path_rejected(key, rng):
                                   microbatch=B, factored=True)
 
 
+def _assert_no_weak_leaves(model, tag):
+    for path, leaf in jax.tree_util.tree_flatten_with_path(model)[0]:
+        if hasattr(leaf, "weak_type"):
+            assert not leaf.weak_type, (
+                f"{tag}: weak-typed leaf {jax.tree_util.keystr(path)}"
+            )
+
+
+def test_config_builds_have_no_weak_typed_leaves(key, rng):
+    """Every built leaf must be strongly typed: a weak-typed parameter
+    (e.g. broadcast_to / asarray of a python-float scalar) changes the
+    jit signature after the first optimizer update — one silent
+    recompile of every training program (observed as a hidden ~17 s
+    second compile at toy scale over the TPU tunnel before the fix).
+    Covers ALL public workload configs, not just the low-rank one."""
+    coords = jnp.asarray(rng.uniform(-2, 2, (N, 2)))
+    groups = jnp.asarray(rng.integers(0, 3, N))
+    builds = {
+        "SlideseqNSF(rank=0)": gz.SlideseqNSFConfig(
+            D=D, N=N, L=L, M=M, rank=0, batch_size=B).build(key, coords),
+        f"SlideseqNSF(rank={R})": gz.SlideseqNSFConfig(
+            D=D, N=N, L=L, M=M, rank=R, batch_size=B).build(key, coords),
+        "NSF": gz.NSFConfig(D=D, N=N, L=L, M=M).build(key, coords),
+        "MGGPNSF": gz.MGGPNSFConfig(D=D, N=N, L=L, M_per_group=5,
+                                    n_groups=3).build(key, coords, groups),
+        "HybridNSF": gz.HybridNSFConfig(D=D, N=N, L=L, T=2,
+                                        M_grid=4).build(key),
+        "PNMF": gz.PNMFConfig(D=D, N=N, L=L).build(key),
+        "VNNGP": gz.VNNGPConfig(D=D, N=N, L=L, M=M, K=4).build(
+            key, X=coords),
+        "SVGPRegression": gz.SVGPRegressionConfig(n=N, M=M).build(key),
+        "MGGPRBF-direct": gz.kernels.MGGPRBF.create(
+            sigma=1.0, lengthscale=2.0, group_diff_param=1.0, n_groups=3),
+    }
+    for tag, model in builds.items():
+        _assert_no_weak_leaves(model, tag)
+
+
 def test_lowrank_checkpoint_roundtrip_deterministic(tmp_path, key, rng):
     """Save/restore a low-rank TrainState mid-run: the next step's loss is
     bit-identical (the deterministic-resume contract covers the new
