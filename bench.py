@@ -345,10 +345,10 @@ def run_vnngp_bench(chunk, chunks, quick=False):
     cond = precompute_vnngp_conditioning(model, x)
     log(f"precomputed conditioning geometry in "
         f"{time.perf_counter()-t0:.2f}s")
-    # jnp.copy(key): the donating runner deletes every state buffer,
-    # including the PRNG key — the all-trainable leg below must get a
-    # live copy, not the same uint32[2] array.
-    state_pre = TrainState.create(copy_model(model), opt, jnp.copy(key))
+    # TrainState.create keeps its own copy of the key, so the donating
+    # runner below can't delete the caller's buffer (the copy_model is
+    # still needed — model buffers ARE donated).
+    state_pre = TrainState.create(copy_model(model), opt, key)
     step_pre = make_batched_train_step(
         vnngp_nsf_negative_elbo_precomputed, opt, num_points=n_train,
         batch_size=batch, static_kwargs={"E": 1, "y_transposed": True},
@@ -886,9 +886,9 @@ def main():
             "(beyond-reference certification leg) ===")
         try:
             # same shapes/methodology as the primary leg; rank 64 ≈ 2% of
-            # the full family's M=3000 columns, 47× fewer posterior-term
-            # FLOPs. Only run at full scale — the quick shapes' M=256
-            # step is dispatch-bound either way.
+            # the full family's M=3000 columns, ~23× fewer posterior-term
+            # FLOPs (M/(2(r+1))). Only run at full scale — the quick
+            # shapes' M=256 step is dispatch-bound either way.
             if not args.quick:
                 lrk_rate, lrk_dev = run_nsf_bench(
                     **shapes, chunk=args.steps_per_chunk,

@@ -37,6 +37,15 @@ def main():
     p.add_argument("--M", type=int, default=3_000)
     p.add_argument("--batch", type=int, default=7_000)
     args = p.parse_args()
+    if any(r < 1 for r in args.ranks):
+        # rank 0 = the full (unwhitened SVGP) family, whose projection is
+        # a DIFFERENT object (a~ = K^-1 Kzx, not Lzz^-1 Kzx) — reusing one
+        # projection across the two families would score a wrong
+        # objective. bench.py --workload nsf benchmarks the full family.
+        p.error("--ranks must be >= 1 (use bench.py for the full family)")
+    if args.steps < 2 * args.chunk:
+        p.error("--steps must be >= 2*chunk (first chunk is the "
+                "untimed compile+warmup)")
 
     import jax
     import jax.numpy as jnp
@@ -65,9 +74,10 @@ def main():
     proj = None
     out = {}
     for r in args.ranks:
-        # fresh key per rank: the donate=True runner consumes the prior
-        # rank's TrainState — and with it the key buffer it was created
-        # from; reusing a donated key raises a backend error
+        # fresh key per rank so every rank's init stream is identical
+        # and independent of loop order (TrainState.create keeps its own
+        # copy of the key, so donation of the prior state is not a
+        # concern here)
         key = jax.random.PRNGKey(0)
         cfg = gz.SlideseqNSFConfig(D=args.D, N=args.N, L=args.L, M=args.M,
                                    batch_size=args.batch, rank=r)

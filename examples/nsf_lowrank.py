@@ -42,19 +42,23 @@ def train_one(tag, model, X, Y, N, batch, steps, lr):
         nsf_negative_elbo_precomputed, opt, num_points=N, batch_size=batch,
         static_kwargs={"E": 1},
     )
-    chunk = min(50, steps)
+    # chunk <= steps // 2: at least one timed chunk follows the untimed
+    # compile+warmup chunk, so the printed rate is never 0/0 nonsense
+    chunk = max(1, min(50, steps // 2))
     runner = make_scan_runner(step, chunk, donate=True)
-    state, losses = runner(state, proj, Y)  # compile + warmup
+    state, losses = runner(state, proj, Y)  # compile + warmup (untimed)
     first = float(losses[0])
+    loops = steps // chunk - 1
     t0 = time.perf_counter()
-    for _ in range(max(0, steps // chunk - 1)):
+    for _ in range(loops):
         state, losses = runner(state, proj, Y)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
-    ran = (steps // chunk) * chunk
+    ran = (loops + 1) * chunk
+    rate = (f"{loops * chunk / dt:.1f} steps/s" if loops
+            else "n/a (single compile chunk)")
     print(f"{tag}: {ran} steps, loss {first:.4e} -> "
-          f"{float(losses[-1]):.4e}, post-compile rate "
-          f"{(ran - chunk) / dt:.1f} steps/s")
+          f"{float(losses[-1]):.4e}, post-compile rate {rate}")
     return state
 
 

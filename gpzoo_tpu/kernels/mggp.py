@@ -174,10 +174,12 @@ class BatchedMGGPRBF(MGGPRBF):
     def create(cls, sigma=1.0, lengthscale=1.0, group_diff_param=1.0,
                n_groups=10, **kw):
         kw.setdefault("convention", GroupDiffConvention.ABS)
+        # strong dtypes — see MGGPRBF.create
+        f = jnp.result_type(float)
         return cls(
-            sigma=jnp.asarray(sigma),
-            lengthscale=jnp.asarray(lengthscale),
-            group_diff_param=jnp.asarray(group_diff_param),
+            sigma=jnp.asarray(sigma, dtype=f),
+            lengthscale=jnp.asarray(lengthscale, dtype=f),
+            group_diff_param=jnp.asarray(group_diff_param, dtype=f),
             embedding=_default_embedding(n_groups),
             **kw,
         )

@@ -266,6 +266,8 @@ def test_config_builds_have_no_weak_typed_leaves(key, rng):
         "SVGPRegression": gz.SVGPRegressionConfig(n=N, M=M).build(key),
         "MGGPRBF-direct": gz.kernels.MGGPRBF.create(
             sigma=1.0, lengthscale=2.0, group_diff_param=1.0, n_groups=3),
+        "BatchedMGGPRBF-direct": gz.kernels.BatchedMGGPRBF.create(
+            sigma=1.0, lengthscale=2.0, group_diff_param=1.0, n_groups=3),
     }
     for tag, model in builds.items():
         _assert_no_weak_leaves(model, tag)
