@@ -59,7 +59,8 @@ def assert_descends(first_losses, last_losses, label):
 
 def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
                   microbatch=None, loss="pre", holdout=None,
-                  checkpoint=None, chol_precision=None, rank=0):
+                  checkpoint=None, chol_precision=None, rank=0,
+                  likelihood="poisson"):
     import jax
 
     # Matmul precision: the fast path pins its Cholesky/solves to HIGHEST
@@ -92,7 +93,8 @@ def run_nsf_bench(N, D, L, M, batch, chunk, chunks, jitter=1e-1,
         raise ValueError("rank > 0 (LowRankWSVGP) rides the precomputed "
                          "projection path only (--loss pre)")
     cfg = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, batch_size=batch,
-                               jitter=jitter, rank=rank)
+                               jitter=jitter, rank=rank,
+                               likelihood=likelihood)
     model = cfg.build(key, x)
 
     mask = trainable_mask(model, cfg.trainable)
@@ -722,6 +724,12 @@ def main():
                         "low-rank-plus-diagonal family "
                         "(gps.LowRankWSVGP) at this rank — O(M·rank) "
                         "state, no M×M tensor in the step")
+    p.add_argument("--likelihood", choices=("poisson", "nb"),
+                   default="poisson",
+                   help="NSF workload only: 'nb' swaps the Poisson head "
+                        "for the beyond-reference negative binomial "
+                        "(models.NBNSF — trainable per-gene dispersion) "
+                        "at the same north-star shapes")
     p.add_argument("--chol-precision", choices=("high", "highest"),
                    default=None,
                    help="NSF --loss fast only: matmul precision of the "
@@ -842,7 +850,8 @@ def main():
                                        loss=args.loss,
                                        checkpoint=args.checkpoint,
                                        chol_precision=args.chol_precision,
-                                       rank=args.rank)
+                                       rank=args.rank,
+                                       likelihood=args.likelihood)
     except Exception as e:  # noqa: BLE001 — report, don't die
         if args.workload != "all":
             raise  # single-leg invocations keep the loud traceback

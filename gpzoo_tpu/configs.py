@@ -15,8 +15,31 @@ import jax.numpy as jnp
 import optax
 
 from gpzoo_tpu import kernels, gps, models
-from gpzoo_tpu.bijectors import (lower_cholesky_inverse,
+from gpzoo_tpu.bijectors import (init_softplus, lower_cholesky_inverse,
                                  softplus_inverse)
+
+
+def _apply_likelihood(model, likelihood, nb_total_count, D):
+    """Swap an NSF head's count likelihood per the config's ``likelihood``
+    field: ``"poisson"`` (the reference's only option) or ``"nb"``
+    (beyond-reference :class:`gpzoo_tpu.models.NBNSF` — trainable
+    per-gene inverse dispersion, Poisson recovered as r → ∞)."""
+    if likelihood == "poisson":
+        return model
+    if likelihood == "nb":
+        import numpy as np
+
+        return models.NBNSF(
+            prior=model.prior, W_raw=model.W_raw, V_raw=model.V_raw,
+            # strong dtype — a weak-typed leaf silently recompiles the
+            # training program after the first optimizer update
+            r_raw=jnp.asarray(
+                init_softplus(np.full(D, float(nb_total_count))),
+                dtype=jnp.result_type(float),
+            ),
+        )
+    raise ValueError(
+        f"likelihood must be 'poisson' or 'nb', got {likelihood!r}")
 
 
 @dataclasses.dataclass
@@ -88,6 +111,11 @@ class NSFConfig:
     lr: float = 5e-3
     E: int = 20
     steps: int = 10_000
+    # "poisson" (the reference's likelihood) or "nb" (beyond-reference
+    # negative binomial with trainable per-gene dispersion, init
+    # r = nb_total_count)
+    likelihood: str = "poisson"
+    nb_total_count: float = 10.0
 
     def build(self, key, X=None):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -99,7 +127,9 @@ class NSFConfig:
             idx = jax.random.choice(k3, X.shape[0], shape=(self.M,),
                                     replace=self.M > X.shape[0])
             gp = gp.replace(Z=jnp.asarray(X)[idx])
-        return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+        model = models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+        return _apply_likelihood(model, self.likelihood,
+                                 self.nb_total_count, self.D)
 
     def optimizer(self):
         return optax.adam(self.lr)
@@ -381,6 +411,10 @@ class SlideseqNSFConfig:
     # Cholesky — O(M·rank) state, no M×M tensor in the training step.
     # 0 (default) keeps the reference's full parameterization.
     rank: int = 0
+    # "poisson" (the reference's likelihood) or "nb" (beyond-reference
+    # negative binomial with trainable per-gene dispersion)
+    likelihood: str = "poisson"
+    nb_total_count: float = 10.0
 
     def build(self, key, X):
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -418,7 +452,9 @@ class SlideseqNSFConfig:
                                      (self.L, self.M, self.M))
                 ),
             )
-        return models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+        model = models.NSF.create(k2, gp, self.D, self.N, L=self.L)
+        return _apply_likelihood(model, self.likelihood,
+                                 self.nb_total_count, self.D)
 
     def trainable(self, path: str) -> bool:
         """Z and kernel hyperparams frozen, per the notebook's

@@ -128,6 +128,77 @@ class Poisson:
 
 
 @struct.dataclass
+class NegativeBinomial:
+    """Gamma-Poisson mixture in mean/dispersion form (beyond-reference).
+
+    The reference is Poisson-only (``likelihoods.py`` passim), but real
+    transcriptomics counts are overdispersed — the NSF paper this data
+    pipeline descends from (willtownes/nsf-paper) ships a negative-
+    binomial likelihood option. Parameterization: ``total_count`` r > 0
+    (inverse dispersion; Poisson recovered as r → ∞) and ``rate`` μ > 0
+    (the MEAN — matching :class:`Poisson` so factorization heads swap the
+    two without touching the rate math). Variance = μ + μ²/r.
+
+    Matches ``torch.distributions.NegativeBinomial(total_count=r,
+    logits=log μ − log r)`` (parity-tested in tests/test_nb.py).
+    """
+
+    total_count: Any
+    rate: Any
+
+    @property
+    def mean(self):
+        return self.rate
+
+    def variance(self):
+        return self.rate + jnp.square(self.rate) / self.total_count
+
+    def sample(self, key, sample_shape=()):
+        """Gamma-Poisson: λ ~ Gamma(r, scale=μ/r), x ~ Poisson(λ).
+
+        Not reparameterized (discrete) — like :meth:`Poisson.sample`;
+        the ELBO heads sample latent F, never the counts."""
+        kg, kp = jax.random.split(key)
+        shape = tuple(sample_shape) + jnp.broadcast_shapes(
+            jnp.shape(self.total_count), jnp.shape(self.rate)
+        )
+        g = jax.random.gamma(kg, self.total_count, shape=shape)
+        lam = g * (self.rate / self.total_count)
+        return jax.random.poisson(kp, lam)
+
+    def log_prob(self, x):
+        """lgamma(x+r) − lgamma(r) − lgamma(x+1) + xlogy(x, μ)
+        + r·log r − (x+r)·log(μ+r).
+
+        ``xlogy`` gives the correct 0-limit at (x=0, μ=0) — the same edge
+        :meth:`Poisson.log_prob` handles (prob 1 at a zero-mean count)."""
+        r, mu = self.total_count, self.rate
+        return (
+            jax.lax.lgamma(x + r)
+            - jax.lax.lgamma(r)
+            - jax.lax.lgamma(x + 1.0)
+            + jax.scipy.special.xlogy(x, mu)
+            + r * jnp.log(r)
+            - (x + r) * jnp.log(mu + r)
+        )
+
+    def unnormalized_log_prob(self, x):
+        """:meth:`log_prob` minus the data-only ``−lgamma(x+1)`` term —
+        the NB analog of the reference's unnormalized Poisson convention
+        (utilities.py:611). Every r-dependent term must stay: unlike
+        Poisson's ``log y!``, the NB normalizer ``lgamma(x+r) − lgamma(r)``
+        carries dispersion gradients."""
+        r, mu = self.total_count, self.rate
+        return (
+            jax.lax.lgamma(x + r)
+            - jax.lax.lgamma(r)
+            + jax.scipy.special.xlogy(x, mu)
+            + r * jnp.log(r)
+            - (x + r) * jnp.log(mu + r)
+        )
+
+
+@struct.dataclass
 class LowRankMultivariateNormal:
     """MVN with covariance ``diag(cov_diag) + cov_factor cov_factorᵀ``.
 

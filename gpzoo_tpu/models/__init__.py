@@ -3,6 +3,7 @@ from gpzoo_tpu.models.factorization import (
     PoissonFactorization,
     PNMF,
     NSF,
+    NBNSF,
     LegacyNSF,
     HybridNSF,
     HybridNSFExact,
@@ -24,6 +25,7 @@ __all__ = [
     "PoissonFactorization",
     "PNMF",
     "NSF",
+    "NBNSF",
     "LegacyNSF",
     "HybridNSF",
     "HybridNSFExact",

@@ -120,6 +120,56 @@ class NSF(PoissonFactorization):
 
 
 @struct.dataclass
+class NBNSF(NSF):
+    """NSF with a negative-binomial likelihood (beyond-reference).
+
+    Same rate ``softplus(V) · softplus(W) @ exp(F)`` as :class:`NSF`, but
+    the counts are NB with a trainable per-gene inverse dispersion
+    ``r = softplus(r_raw)`` (D,) — Poisson is the r → ∞ limit. The
+    reference is Poisson-only; real transcriptomics counts are
+    overdispersed and the nsf-paper pipeline the reference's data prep
+    descends from offers NB. Drop-in with every generic ELBO and the
+    blockwise/precomputed fast paths (dispatched on the ``r_raw`` field,
+    tests/test_nb.py)."""
+
+    r_raw: Any = None  # (D,) per-gene inverse dispersion, softplus'd
+
+    @classmethod
+    def create(cls, key, gp, D, N, L=10, total_count=10.0):
+        from gpzoo_tpu.bijectors import init_softplus
+
+        return cls(
+            prior=gp,
+            W_raw=jax.random.uniform(key, (D, L)),
+            V_raw=jnp.ones((N,)),
+            # result_type(float): strong dtype — a weak-typed leaf
+            # silently recompiles the training program after the first
+            # optimizer update
+            r_raw=jnp.asarray(
+                init_softplus(jnp.full((D,), float(total_count))),
+                dtype=jnp.result_type(float),
+            ),
+        )
+
+    def _py(self, rate):
+        return dists.NegativeBinomial(
+            softplus(self.r_raw)[:, None], rate
+        )
+
+    def __call__(self, x, key, E=10, **kwargs):
+        qf, qu, pu = self.prior(x, **kwargs)
+        f = qf.sample(key, (E,))
+        rate = softplus(self.V_raw) * self.get_rate(f)
+        return self._py(rate), qf, qu, pu
+
+    def batched(self, x, idx, key, E=10, **kwargs):
+        qf, qu, pu = self.prior(x[idx], **kwargs)
+        f = qf.sample(key, (E,))
+        rate = softplus(self.V_raw[idx]) * self.get_rate(f)
+        return self._py(rate), qf, qu, pu
+
+
+@struct.dataclass
 class HybridNSF:
     """Spatial + non-spatial factorization (reference ``Hybrid_NSF2``,
     likelihoods.py:100-165): two Poisson-factorization halves — ``sf`` with

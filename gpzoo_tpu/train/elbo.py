@@ -46,8 +46,10 @@ def _gp_kl(qu, pu):
 
 
 def _expected_ll(py, y, unnormalized):
-    if unnormalized:
-        lp = py.unnormalized_log_prob(y) if isinstance(py, dists.Poisson) else py.log_prob(y)
+    # count likelihoods (Poisson, NegativeBinomial) expose the reference's
+    # unnormalized convention; Gaussians don't and always normalize
+    if unnormalized and hasattr(py, "unnormalized_log_prob"):
+        lp = py.unnormalized_log_prob(y)
     else:
         lp = py.log_prob(y)
     return jnp.sum(jnp.mean(lp, axis=0))

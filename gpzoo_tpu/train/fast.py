@@ -110,6 +110,17 @@ def _split_head(model):
     return model, gp, False
 
 
+def _count_py(head, rate):
+    """The head's count likelihood at mean ``rate``: Poisson, or — when
+    the head carries the per-gene dispersion field of
+    :class:`gpzoo_tpu.models.NBNSF` — negative binomial. Both expose the
+    unnormalized convention, so the log-prob call sites are shared."""
+    r_raw = getattr(head, "r_raw", None)
+    if r_raw is None:
+        return dists.Poisson(rate)
+    return dists.NegativeBinomial(softplus(r_raw)[:, None], rate)
+
+
 def _exact_f(mean, scale):
     """HybridNSFExact's draw-free log-rate: μ + ½σ² so the rate uses the
     lognormal mean E[e^F] = exp(μ + ½σ²) (likelihoods.py:182-202). No E
@@ -628,7 +639,7 @@ def nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
                   else m2c + s2c * e2c)  # (T, mb) / (E, T, mb)
             rate = rate + jnp.einsum("dt,...tn->...dn", w2_sp, jnp.exp(f2))
         rate = vc * rate
-        py = dists.Poisson(rate)
+        py = _count_py(head, rate)
         lp = (py.unnormalized_log_prob(yc) if unnormalized
               else py.log_prob(yc))
         return jnp.sum(jnp.mean(lp, axis=0))
@@ -834,7 +845,7 @@ def nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=1,
                                  jnp.exp(f2))
         kl2 = _meanfield_kl(mean2, scale2, prior2.scale_pf)
     rate = softplus(model.V_raw[idx]) * rate
-    py = dists.Poisson(rate)
+    py = _count_py(head, rate)
     yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
     ll = jnp.sum(jnp.mean(lp, axis=0))

@@ -52,7 +52,8 @@ from gpzoo_tpu.ops.tri_blocked import tri_kl_trace
 # the shared-kernel collapse + matmul-form KL live with the SVGP fast
 # paths; importing fast here is acyclic (fast never imports this module
 # at top level — its back-compat alias is a lazy module __getattr__)
-from gpzoo_tpu.train.fast import _collapse_shared_kernel, _matmul_kl
+from gpzoo_tpu.train.fast import (_collapse_shared_kernel, _count_py,
+                                  _matmul_kl)
 
 
 def _solve_kl(mu, lu, lzz):
@@ -138,7 +139,7 @@ def vnngp_nsf_negative_elbo_batched(model, x, y, idx, key, E=1,
     rate = softplus(model.V_raw[idx]) * jnp.einsum(
         "dl,...ln->...dn", softplus(model.W_raw), jnp.exp(f)
     )
-    py = dists.Poisson(rate)
+    py = _count_py(model, rate)
     yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
     ll = jnp.sum(jnp.mean(lp, axis=0))
@@ -297,7 +298,7 @@ def vnngp_nsf_negative_elbo_precomputed(model, cond, y, idx, key, E=1,
     rate = softplus(model.V_raw[idx]) * jnp.einsum(
         "dl,eln->edn", softplus(model.W_raw), jnp.exp(f)
     )
-    py = dists.Poisson(rate)
+    py = _count_py(model, rate)
     yb = jnp.swapaxes(y[idx], 0, 1) if y_transposed else y[:, idx]
     lp = py.unnormalized_log_prob(yb) if unnormalized else py.log_prob(yb)
     ll = jnp.sum(jnp.mean(lp, axis=0))

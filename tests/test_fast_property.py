@@ -55,7 +55,19 @@ def _build_model(kind, whitened, per_factor, jitter, key):
                 sf=hyb.sf, cf=hyb.cf, V_raw=hyb.V_raw)
         return hyb
     cls_m = gz.models.MGGPNSF if kind == "mggp" else gz.models.NSF
-    return cls_m.create(jax.random.fold_in(key, 3), gp, D=D, N=N, L=L)
+    model = cls_m.create(jax.random.fold_in(key, 3), gp, D=D, N=N, L=L)
+    if kind == "nb":
+        # negative-binomial head (beyond-reference): same rate math,
+        # per-gene dispersion likelihood — the fast paths dispatch on the
+        # r_raw field (tests/test_nb.py holds the focused suite)
+        from gpzoo_tpu.bijectors import init_softplus
+
+        model = gz.models.NBNSF(
+            prior=model.prior, W_raw=model.W_raw, V_raw=model.V_raw,
+            r_raw=jnp.asarray(init_softplus(np.full(D, 4.0)),
+                              jnp.float64),
+        )
+    return model
 
 
 def _draw_configs(n_cfg, seed=12345):
@@ -68,7 +80,7 @@ def _draw_configs(n_cfg, seed=12345):
     cfgs = []
     for _ in range(n_cfg):
         cfgs.append(dict(
-            kind=pick(["plain", "mggp", "hybrid", "hybrid-mggp",
+            kind=pick(["plain", "nb", "mggp", "hybrid", "hybrid-mggp",
                        "hybrid-exact", "hybrid-mggp-exact"]),
             whitened=bool(r.integers(2)),
             per_factor=bool(r.integers(2)),

@@ -256,6 +256,11 @@ def test_config_builds_have_no_weak_typed_leaves(key, rng):
         f"SlideseqNSF(rank={R})": gz.SlideseqNSFConfig(
             D=D, N=N, L=L, M=M, rank=R, batch_size=B).build(key, coords),
         "NSF": gz.NSFConfig(D=D, N=N, L=L, M=M).build(key, coords),
+        "NSF(nb)": gz.NSFConfig(D=D, N=N, L=L, M=M,
+                                likelihood="nb").build(key, coords),
+        "SlideseqNSF(nb)": gz.SlideseqNSFConfig(
+            D=D, N=N, L=L, M=M, batch_size=B,
+            likelihood="nb").build(key, coords),
         "MGGPNSF": gz.MGGPNSFConfig(D=D, N=N, L=L, M_per_group=5,
                                     n_groups=3).build(key, coords, groups),
         "HybridNSF": gz.HybridNSFConfig(D=D, N=N, L=L, T=2,
