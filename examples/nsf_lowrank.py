@@ -17,17 +17,17 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import gpzoo_tpu as gz
-from gpzoo_tpu.train import TrainState, make_batched_train_step, \
-    make_scan_runner
+from _example_timing import run_chunked
+from gpzoo_tpu.train import TrainState, make_batched_train_step
 from gpzoo_tpu.train.fast import (nsf_negative_elbo_precomputed,
                                   precompute_nsf_projection)
 
@@ -42,24 +42,7 @@ def train_one(tag, model, X, Y, N, batch, steps, lr):
         nsf_negative_elbo_precomputed, opt, num_points=N, batch_size=batch,
         static_kwargs={"E": 1},
     )
-    # chunk <= steps // 2: at least one timed chunk follows the untimed
-    # compile+warmup chunk, so the printed rate is never 0/0 nonsense
-    chunk = max(1, min(50, steps // 2))
-    runner = make_scan_runner(step, chunk, donate=True)
-    state, losses = runner(state, proj, Y)  # compile + warmup (untimed)
-    first = float(losses[0])
-    loops = steps // chunk - 1
-    t0 = time.perf_counter()
-    for _ in range(loops):
-        state, losses = runner(state, proj, Y)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    ran = (loops + 1) * chunk
-    rate = (f"{loops * chunk / dt:.1f} steps/s" if loops
-            else "n/a (single compile chunk)")
-    print(f"{tag}: {ran} steps, loss {first:.4e} -> "
-          f"{float(losses[-1]):.4e}, post-compile rate {rate}")
-    return state
+    return run_chunked(tag, state, step, (proj, Y), steps)
 
 
 def main():

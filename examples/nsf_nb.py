@@ -6,12 +6,16 @@ are overdispersed (variance > mean). `NSFConfig(likelihood="nb")` /
 dispersion r (Poisson is the r -> infinity limit) through the same fast
 paths.
 
-This example simulates gamma-Poisson (i.e. NB) counts over a spatial NSF
-ground truth, fits Poisson-NSF and NB-NSF with the same budget, and
-reports (a) held-out per-entry log-likelihood under each model's own
-likelihood, (b) the recovered dispersion vs the simulation's truth,
-(c) Moran's I of the recovered spatial factors. Expect NB to win (a) by
-a wide margin at r_true ~ 2 while (c) stays comparable — the point is
+This example simulates TRUE negative-binomial counts over a spatial NSF
+ground truth (`gz.data.simulate_nb_counts`: counts ~ NB(r_true, rate)),
+fits Poisson-NSF and NB-NSF with the same budget, and reports (a)
+held-out per-entry log-likelihood under each model's own likelihood,
+(b) the recovered dispersion vs the simulation's r_true, (c) Moran's I
+of the recovered spatial factors. The per-spot size factor V is frozen
+at its init for BOTH fits so the held-out spots (whose V never receives
+gradients) are scaled identically under both models — the A/B then
+isolates the likelihood, not a size-factor artifact. Expect NB to win
+(a) clearly at r_true ~ 2 while (c) stays comparable — the point is
 calibrated uncertainty on counts, not a different spatial fit.
 
 Run: python examples/nsf_nb.py [--N 1500 --steps 600 --r-true 2.0]
@@ -21,54 +25,28 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import gpzoo_tpu as gz
+from _example_timing import run_chunked
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import softplus
 from gpzoo_tpu.train import (TrainState, make_batched_train_step,
-                             make_scan_runner, negative_elbo_batched)
-
-
-def train_one(tag, model, X, Y, n_train, batch, steps, lr):
-    import optax
-
-    opt = optax.adam(lr)
-    state = TrainState.create(model, opt, jax.random.PRNGKey(1))
-    step = make_batched_train_step(
-        negative_elbo_batched, opt, num_points=n_train, batch_size=batch,
-        static_kwargs={"E": 3},
-    )
-    chunk = max(1, min(50, steps // 2))
-    runner = make_scan_runner(step, chunk, donate=True)
-    state, losses = runner(state, X, Y)  # compile + warmup (untimed)
-    first = float(losses[0])
-    loops = steps // chunk - 1
-    t0 = time.perf_counter()
-    for _ in range(loops):
-        state, losses = runner(state, X, Y)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    rate = (f"{loops * chunk / dt:.1f} steps/s" if loops
-            else "n/a (single compile chunk)")
-    print(f"{tag}: {(loops + 1) * chunk} steps, loss {first:.4e} -> "
-          f"{float(losses[-1]):.4e}, post-compile rate {rate}")
-    return state
+                             negative_elbo_batched, partition_optimizer,
+                             trainable_mask)
 
 
 def holdout_ll(model, X, Y, vidx):
     """Mean per-entry held-out log-likelihood under the model's OWN
     likelihood at the plug-in posterior-mean rate."""
     qf, _, _ = model.prior(X[vidx])
-    rate = softplus(model.V_raw[vidx]) * (
-        softplus(model.W_raw) @ jnp.exp(qf.mean)
-    )
+    rate = softplus(model.V_raw[vidx]) * model.get_rate(qf.mean)
     yv = Y[:, vidx]
     if hasattr(model, "r_raw"):
         py = dists.NegativeBinomial(softplus(model.r_raw)[:, None], rate)
@@ -78,6 +56,8 @@ def holdout_ll(model, X, Y, vidx):
 
 
 def main():
+    import optax
+
     p = argparse.ArgumentParser()
     p.add_argument("--N", type=int, default=1500)
     p.add_argument("--D", type=int, default=40)
@@ -91,30 +71,36 @@ def main():
     args = p.parse_args()
     if args.steps < 1:
         p.error("--steps must be >= 1")
-
-    key = jax.random.PRNGKey(0)
-    coords, mean_counts, _ = gz.data.simulate_nsf_counts(
-        N=args.N, D=args.D, L=args.L, seed=0)
-    # overdisperse: counts ~ NB(r_true, mean): Poisson(Gamma-mixed rate)
-    rng = np.random.default_rng(1)
-    lam = rng.gamma(shape=args.r_true,
-                    scale=np.maximum(mean_counts, 1e-3) / args.r_true)
-    counts = rng.poisson(lam).astype(np.float64)
-    over = counts.var() / counts.mean()
-    print(f"simulated NB counts at r_true={args.r_true}: "
-          f"var/mean = {over:.1f} (Poisson would be ~1 at fixed rate)")
-    X, Y = jnp.asarray(coords), jnp.asarray(counts)
     n_holdout = args.N // 10
     n_train = args.N - n_holdout
+    if args.batch > n_train:
+        p.error(f"--batch {args.batch} exceeds the {n_train} training "
+                f"spots (N minus the N//10 holdout); lower --batch or "
+                f"raise --N")
+
+    key = jax.random.PRNGKey(0)
+    coords, counts, _ = gz.data.simulate_nb_counts(
+        N=args.N, D=args.D, L=args.L, seed=0, total_count=args.r_true)
+    over = counts.var() / counts.mean()
+    print(f"simulated NB counts at r_true={args.r_true}: "
+          f"var/mean = {over:.1f} (a fixed-rate Poisson would be ~1)")
+    X, Y = jnp.asarray(coords), jnp.asarray(counts)
     vidx = jnp.arange(n_train, args.N)
 
     results = {}
     for tag, lik in (("poisson", "poisson"), ("negative-binomial", "nb")):
         cfg = gz.NSFConfig(D=args.D, N=args.N, L=args.L, M=args.M,
-                           likelihood=lik, nb_total_count=15.0, lr=1e-2)
+                           likelihood=lik, nb_total_count=15.0, lr=2e-2)
         model = cfg.build(key, X=X)
-        state = train_one(tag, model, X, Y, n_train, args.batch,
-                          args.steps, cfg.lr)
+        # freeze V so held-out spots (never minibatched → V untrained)
+        # carry the same scale as training spots under both models
+        mask = trainable_mask(model, lambda path: "V_raw" not in path)
+        opt = partition_optimizer(optax.adam(cfg.lr), mask)
+        state = TrainState.create(model, opt, jax.random.PRNGKey(1))
+        step = make_batched_train_step(
+            negative_elbo_batched, opt, num_points=n_train,
+            batch_size=args.batch, static_kwargs={"E": 3})
+        state = run_chunked(tag, state, step, (X, Y), args.steps)
         ll = holdout_ll(state.model, X, Y, vidx)
         results[tag] = ll
         qf, _, _ = state.model.prior(X)

@@ -14,7 +14,8 @@ from gpzoo_tpu.data.nmf_init import (
 from gpzoo_tpu.data.metrics import (morans_i, dims_autocorr,
                                     best_match_correlation)
 from gpzoo_tpu.data.io import read_h5ad, load_train_val
-from gpzoo_tpu.data.sim import (simulate_nsf_counts, simulate_1d_regression,
+from gpzoo_tpu.data.sim import (simulate_nsf_counts, simulate_nb_counts,
+                                simulate_1d_regression,
                                 simulate_shape_images)
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "load_train_val",
     "dims_autocorr",
     "simulate_nsf_counts",
+    "simulate_nb_counts",
     "simulate_1d_regression",
     "simulate_shape_images",
 ]

@@ -44,6 +44,18 @@ def _ggblocks_factors(coords, L):
     return np.stack(out, axis=0)  # (L, N)
 
 
+def _nsf_rate(rng, coords, D, L, mean_counts):
+    """Shared NSF ground-truth rate: block factors × Dirichlet loadings.
+    Consumes rng draws in the exact order ``simulate_nsf_counts`` always
+    did (dirichlet only), so existing seeded fixtures stay bit-identical."""
+    fac = _ggblocks_factors(coords, L)  # (L, N) in {0,1}
+    log_f = np.log(0.2 + 2.0 * fac)  # active ≈ 2.2, background 0.2
+    w = rng.dirichlet(np.ones(L) * 0.5, size=D)  # (D, L) sparse-ish loadings
+    rate = w @ np.exp(log_f)  # (D, N)
+    rate *= mean_counts / rate.mean()
+    return rate, log_f
+
+
 def simulate_nsf_counts(seed=0, N=2000, D=80, L=4, mean_counts=10.0):
     """Counts from the NSF generative model over block spatial factors.
 
@@ -53,12 +65,24 @@ def simulate_nsf_counts(seed=0, N=2000, D=80, L=4, mean_counts=10.0):
     """
     rng = np.random.default_rng(seed)
     coords = rng.uniform(-2.0, 2.0, size=(N, 2))
-    fac = _ggblocks_factors(coords, L)  # (L, N) in {0,1}
-    log_f = np.log(0.2 + 2.0 * fac)  # active ≈ 2.2, background 0.2
-    w = rng.dirichlet(np.ones(L) * 0.5, size=D)  # (D, L) sparse-ish loadings
-    rate = w @ np.exp(log_f)  # (D, N)
-    rate *= mean_counts / rate.mean()
+    rate, log_f = _nsf_rate(rng, coords, D, L, mean_counts)
     counts = rng.poisson(rate).astype(np.float32)
+    return coords.astype(np.float32), counts, log_f
+
+
+def simulate_nb_counts(seed=0, N=2000, D=80, L=4, mean_counts=10.0,
+                       total_count=2.0):
+    """Overdispersed counts: the same NSF ground-truth rate, observed
+    through a negative binomial — counts ~ NB(r=total_count, mean=rate)
+    via the gamma-Poisson mixture. The workload for
+    :class:`gpzoo_tpu.models.NBNSF` (beyond-reference; Poisson is the
+    total_count → ∞ limit). Returns (coords, counts, true log-factors)
+    like :func:`simulate_nsf_counts`."""
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-2.0, 2.0, size=(N, 2))
+    rate, log_f = _nsf_rate(rng, coords, D, L, mean_counts)
+    lam = rng.gamma(shape=total_count, scale=rate / total_count)
+    counts = rng.poisson(lam).astype(np.float32)
     return coords.astype(np.float32), counts, log_f
 
 
