@@ -241,3 +241,68 @@ def test_nbnsf_recovers_overdispersion(key):
     # moved at least halfway toward the truth in log space from r=20
     # (log-space midpoint of 20 → 2 is √40 ≈ 6.3)
     assert np.median(r_hat) < 7.0, r_hat
+
+
+def test_nbnsf_sharded_step_matches_unsharded(key):
+    """DP-sharded NBNSF train step ≡ single-device: the NB likelihood
+    (incl. the dispersion leaf and its Adam moments) is sharding-neutral
+    like every other head."""
+    import optax
+
+    from gpzoo_tpu.parallel import (data_parallel_mesh,
+                                    make_sharded_batched_train_step,
+                                    replicate, shard_columns)
+    from gpzoo_tpu.train import TrainState, make_batched_train_step
+
+    n = 512  # divisible by the 8-way data axis (shard_columns)
+    coords, counts, _ = gz.data.simulate_nb_counts(N=n, D=12, L=3,
+                                                   total_count=2.0)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    model = gz.NSFConfig(D=12, N=n, L=3, M=20,
+                         likelihood="nb").build(key, X=x)
+    mesh = data_parallel_mesh()
+    opt = optax.adam(1e-3)
+    step_ref = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=n, batch_size=64,
+        static_kwargs={"E": 1})
+    step_sh = make_sharded_batched_train_step(
+        negative_elbo_batched, opt, num_points=n, batch_size=64,
+        mesh=mesh, static_kwargs={"E": 1})
+    s_ref = TrainState.create(model, opt, key)
+    s_sh = replicate(mesh, TrainState.create(model, opt, key))
+    x_sh, y_sh = replicate(mesh, x), shard_columns(mesh, y)
+    for _ in range(3):
+        s_ref, l_ref = step_ref(s_ref, x, y)
+        s_sh, l_sh = step_sh(s_sh, x_sh, y_sh)
+        assert float(l_ref) == pytest.approx(float(l_sh), rel=1e-9)
+    np.testing.assert_allclose(np.asarray(s_sh.model.r_raw),
+                               np.asarray(s_ref.model.r_raw), rtol=1e-9)
+
+
+def test_nbnsf_checkpoint_roundtrip_deterministic(tmp_path, nb_setup):
+    """Save/restore an NBNSF TrainState mid-run: the next step's loss is
+    bit-identical (the deterministic-resume contract covers the r_raw
+    leaf and its Adam moments)."""
+    import optax
+
+    from gpzoo_tpu.train import TrainState, make_batched_train_step
+    from gpzoo_tpu.train.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    model, x, y, idx, key = nb_setup
+    opt = optax.adam(1e-3)
+    n = x.shape[0]
+    state = TrainState.create(model, opt, jax.random.PRNGKey(1))
+    step = make_batched_train_step(
+        negative_elbo_batched, opt, num_points=n, batch_size=64,
+        static_kwargs={"E": 1})
+    for _ in range(3):
+        state, _ = step(state, x, y)
+    path = save_checkpoint(str(tmp_path / "nb.msgpack"), state)
+    restored = restore_checkpoint(
+        path, TrainState.create(model, opt, jax.random.PRNGKey(1)))
+    assert int(restored.step) == 3
+    _, la = step(state, x, y)
+    _, lb = step(restored, x, y)
+    assert float(la) == float(lb)
