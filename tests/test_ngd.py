@@ -1,0 +1,166 @@
+"""Natural-gradient VI for q(u) (beyond-reference, train/ngd.py).
+
+Contracts:
+
+* the natural update is EXACT for conjugate Gaussian models — one step
+  at ρ=1 from any PD initialization lands on the closed-form posterior
+  (the defining property of NGVI);
+* the (m, S) ELBO equals ``nsf_negative_elbo_precomputed`` at
+  S = Lu Luᵀ (same projection, same key);
+* the full NGD+Adam step trains the toy north-star configuration and
+  reaches a (much) lower loss than Adam at an equal step budget;
+* ``ngd_to_model`` writes the covariance back so the standard paths see
+  the trained q(u).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import gpzoo_tpu as gz
+from gpzoo_tpu.bijectors import lower_cholesky
+from gpzoo_tpu.ops.linalg import tril_logdet
+from gpzoo_tpu.train.fast import (nsf_negative_elbo_precomputed,
+                                  precompute_nsf_projection)
+from gpzoo_tpu.train.ngd import (NGDTrainState, _ngd_negative_elbo_nologdet,
+                                 make_ngd_train_step, natural_update,
+                                 ngd_create, ngd_to_model)
+
+N, D, L, M, B = 400, 12, 3, 24, 64
+
+
+def test_natural_update_conjugate_exact(rng):
+    """Gaussian likelihood y = A u + ε: one ρ=1 natural step from an
+    arbitrary PD start recovers the exact posterior
+    S* = (K⁻¹ + AᵀA/σ²)⁻¹, m* = S* Aᵀ y / σ² — in one shot."""
+    m_dim, n_obs, sigma2 = 6, 9, 0.3
+    a = jnp.asarray(rng.normal(size=(n_obs, m_dim)))
+    y = jnp.asarray(rng.normal(size=(n_obs,)))
+    k = jnp.asarray(rng.normal(size=(m_dim, m_dim)))
+    k = k @ k.T + m_dim * jnp.eye(m_dim)
+    k_inv = jnp.linalg.inv(k)
+
+    def neg_elbo(m, s):
+        fit = 0.5 / sigma2 * (
+            jnp.sum(jnp.square(y - a @ m)) + jnp.trace(a.T @ a @ s)
+        )
+        kl = 0.5 * (
+            jnp.trace(k_inv @ s) + m @ k_inv @ m - m_dim
+            - jnp.linalg.slogdet(s)[1] + jnp.linalg.slogdet(k)[1]
+        )
+        return fit + kl
+
+    # arbitrary PD start
+    m0 = jnp.asarray(rng.normal(size=(m_dim,)))
+    ls = jnp.asarray(rng.normal(size=(m_dim, m_dim)))
+    s0 = ls @ ls.T + jnp.eye(m_dim)
+    p0 = jnp.linalg.inv(s0)
+
+    g_m, g_s = jax.grad(neg_elbo, argnums=(0, 1))(m0, s0)
+    # natural_update is batched (L, M, M); lift to L=1
+    m1, p1, _ = natural_update(m0[None], p0[None], g_m[None], g_s[None],
+                               rho=1.0)
+
+    p_star = k_inv + a.T @ a / sigma2
+    m_star = jnp.linalg.solve(p_star, a.T @ y / sigma2)
+    np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p_star),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m1[0]), np.asarray(m_star),
+                               rtol=1e-9, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def nsf_setup():
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=N, D=D, L=L)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    key = jax.random.PRNGKey(3)
+    model = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, batch_size=B).build(
+        key, x)
+    # non-identity q(u) covariance so the logdet/trace terms are exercised
+    lu_raw = 0.2 * jax.random.normal(jax.random.PRNGKey(8), (L, M, M))
+    model = model.replace(prior=model.prior.replace(Lu_raw=lu_raw))
+    return model, x, y, key
+
+
+def test_ngd_elbo_matches_precomputed(nsf_setup):
+    model, x, y, key = nsf_setup
+    proj = precompute_nsf_projection(model, x)
+    idx = jax.random.choice(jax.random.PRNGKey(5), N, (B,), replace=False)
+    ref = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    lu = lower_cholesky(model.prior.Lu_raw)
+    s = jnp.einsum("lmk,lnk->lmn", lu, lu)
+    val = _ngd_negative_elbo_nologdet(model, s, proj, y, idx, key, E=2)
+    val = val - jnp.sum(tril_logdet(lu))  # add the −½ logdet S KL term
+    assert float(val) == pytest.approx(float(ref), rel=1e-9)
+
+
+def test_ngd_beats_adam_at_equal_steps(nsf_setup):
+    """The capability's point: at an equal 150-step budget on the frozen-
+    geometry toy, NGD on q(u) reaches a much lower −ELBO than Adam."""
+    model, x, y, key = nsf_setup
+    proj = precompute_nsf_projection(model, x)
+    steps = 150
+
+    # Adam baseline (the production step)
+    opt = optax.adam(2e-3)
+    from gpzoo_tpu.train import TrainState, make_batched_train_step
+
+    st = TrainState.create(model, opt, jax.random.PRNGKey(1))
+    adam_step = make_batched_train_step(
+        nsf_negative_elbo_precomputed, opt, num_points=N, batch_size=B,
+        static_kwargs={"E": 1})
+    adam_losses = []
+    for _ in range(steps):
+        st, l = adam_step(st, proj, y)
+        adam_losses.append(float(l))
+
+    state, part_opt = ngd_create(model, optax.adam(2e-3),
+                                 jax.random.PRNGKey(1))
+    ngd_step = make_ngd_train_step(
+        part_opt, num_points=N, batch_size=B, nat_lr=0.05, ramp_steps=50,
+        static_kwargs={"E": 1})
+    ngd_losses = []
+    for _ in range(steps):
+        state, l = ngd_step(state, proj, y)
+        ngd_losses.append(float(l))
+
+    assert np.isfinite(ngd_losses).all()
+    # the two losses are the same objective (test above); NGD must be
+    # clearly ahead at the same step count. (No self-descent assert:
+    # this toy's init is already near the mu/Lu optimum, so per-batch
+    # noise dominates the NGD trace's own trend.)
+    assert np.mean(ngd_losses[-10:]) < np.mean(adam_losses[-10:]), (
+        np.mean(ngd_losses[-10:]), np.mean(adam_losses[-10:]))
+
+
+def test_ngd_to_model_roundtrip(nsf_setup):
+    model, x, y, key = nsf_setup
+    state, part_opt = ngd_create(model, optax.adam(1e-3),
+                                 jax.random.PRNGKey(1))
+    proj = precompute_nsf_projection(model, x)
+    step = make_ngd_train_step(part_opt, num_points=N, batch_size=B,
+                               nat_lr=0.05, ramp_steps=10,
+                               static_kwargs={"E": 1})
+    for _ in range(5):
+        state, l = step(state, proj, y)
+    out = ngd_to_model(state)
+    lu = lower_cholesky(out.prior.Lu_raw)
+    s = jnp.einsum("lmk,lnk->lmn", lu, lu)
+    # S written back must invert the carried precision
+    p = state.prec
+    ident = jnp.einsum("lmk,lkn->lmn", s, p)
+    np.testing.assert_allclose(
+        np.asarray(ident),
+        np.broadcast_to(np.eye(M), (L, M, M)),
+        atol=1e-7)
+    # and the step's loss must equal the Adam-path loss of the
+    # written-back model (same objective, same draw)
+    idx = jax.random.choice(jax.random.PRNGKey(5), N, (B,), replace=False)
+    ref = nsf_negative_elbo_precomputed(out, proj, y, idx, key, E=2)
+    lu_l = lower_cholesky(out.prior.Lu_raw)
+    val = _ngd_negative_elbo_nologdet(out, s, proj, y, idx, key, E=2)
+    val = val - jnp.sum(tril_logdet(lu_l))
+    assert float(val) == pytest.approx(float(ref), rel=1e-8)
