@@ -181,6 +181,9 @@ def natural_update_guarded(m, prec, prec_chol, g_m, g_s, rho):
     (m′, P′, chol(P′), rejected_count)."""
     m_new, prec_new, chol_new = natural_update(m, prec, g_m, g_s, rho)
     bad = ~jnp.all(jnp.isfinite(chol_new), axis=(-2, -1))  # (L,)
+    # Overflowed-but-finite P′ can still yield a non-finite mean solve
+    # (or a finite chol with an inf θ1′): reject those factors too.
+    bad |= ~jnp.all(jnp.isfinite(m_new), axis=-1)
     m_new = jnp.where(bad[:, None], m, m_new)
     prec_new = jnp.where(bad[:, None, None], prec, prec_new)
     chol_new = jnp.where(bad[:, None, None], prec_chol, chol_new)
@@ -237,6 +240,20 @@ def make_ngd_train_step(optimizer, num_points, batch_size, nat_lr,
             g_model, state.opt_state, state.model)
         model = optax.apply_updates(state.model, updates)
         model = model.replace(prior=model.prior.replace(mu=m_new))
+        # A non-finite loss means every gradient is garbage: skip the
+        # ENTIRE update (head + natural) so one overflowed MC draw can't
+        # poison the Adam moments — the next step retries with a fresh
+        # minibatch/sample key. The per-factor PD guard above already
+        # handles the finite-loss/indefinite-P′ case.
+        ok = jnp.isfinite(loss)
+
+        def _sel(new, old):
+            return jnp.where(ok, new, old)
+
+        model = jax.tree.map(_sel, model, state.model)
+        opt_state = jax.tree.map(_sel, opt_state, state.opt_state)
+        prec_new = _sel(prec_new, state.prec)
+        chol_new = _sel(chol_new, state.prec_chol)
         return (
             state.replace(model=model, prec=prec_new, prec_chol=chol_new,
                           opt_state=opt_state, step=state.step + 1,

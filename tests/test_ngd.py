@@ -136,6 +136,36 @@ def test_ngd_beats_adam_at_equal_steps(nsf_setup):
         np.mean(ngd_losses[-10:]), np.mean(adam_losses[-10:]))
 
 
+def test_ngd_poisoned_step_skips_update(nsf_setup):
+    """A non-finite loss (here: inf counts, the cleanest deterministic
+    poison — any overflowed MC draw behaves the same) must skip the
+    ENTIRE update: model, Adam state, and (m, P) all keep their values,
+    only step/key advance, and the next clean step recovers."""
+    model, x, y, key = nsf_setup
+    proj = precompute_nsf_projection(model, x)
+    state, part_opt = ngd_create(model, optax.adam(1e-3),
+                                 jax.random.PRNGKey(1))
+    step = make_ngd_train_step(part_opt, num_points=N, batch_size=B,
+                               nat_lr=0.05, ramp_steps=10,
+                               static_kwargs={"E": 1})
+    y_bad = jnp.full_like(jnp.asarray(y), jnp.inf)
+    state2, loss = step(state, proj, y_bad)
+    assert not np.isfinite(float(loss))
+    assert int(state2.step) == int(state.step) + 1
+    for a, b in zip(jax.tree.leaves(state.model),
+                    jax.tree.leaves(state2.model), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(state2.opt_state), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.prec),
+                                  np.asarray(state2.prec))
+    np.testing.assert_array_equal(np.asarray(state.prec_chol),
+                                  np.asarray(state2.prec_chol))
+    state3, loss3 = step(state2, proj, y)
+    assert np.isfinite(float(loss3))
+
+
 def test_ngd_to_model_roundtrip(nsf_setup):
     model, x, y, key = nsf_setup
     state, part_opt = ngd_create(model, optax.adam(1e-3),
