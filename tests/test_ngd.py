@@ -166,6 +166,34 @@ def test_ngd_poisoned_step_skips_update(nsf_setup):
     assert np.isfinite(float(loss3))
 
 
+def test_ngd_checkpoint_roundtrip_deterministic(tmp_path, nsf_setup):
+    """Save/restore an NGDTrainState mid-run: the next step's loss is
+    bit-identical. The checkpoint machinery is pytree-generic, but this
+    pins the deterministic-resume contract for the NGD-specific leaves
+    (prec, prec_chol) alongside the partitioned Adam state."""
+    from gpzoo_tpu.train.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    model, x, y, key = nsf_setup
+    proj = precompute_nsf_projection(model, x)
+    state, part_opt = ngd_create(model, optax.adam(1e-3),
+                                 jax.random.PRNGKey(1))
+    step = make_ngd_train_step(part_opt, num_points=N, batch_size=B,
+                               nat_lr=0.05, ramp_steps=10,
+                               static_kwargs={"E": 1})
+    for _ in range(3):
+        state, _ = step(state, proj, y)
+    path = save_checkpoint(str(tmp_path / "ngd.msgpack"), state)
+    template, _ = ngd_create(model, optax.adam(1e-3), jax.random.PRNGKey(1))
+    restored = restore_checkpoint(path, template)
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(np.asarray(restored.prec_chol),
+                                  np.asarray(state.prec_chol))
+    _, la = step(state, proj, y)
+    _, lb = step(restored, proj, y)
+    assert float(la) == float(lb)
+
+
 def test_ngd_to_model_roundtrip(nsf_setup):
     model, x, y, key = nsf_setup
     state, part_opt = ngd_create(model, optax.adam(1e-3),
