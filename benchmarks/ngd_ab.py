@@ -39,6 +39,9 @@ def main():
     p.add_argument("--batch", type=int, default=7_000)
     p.add_argument("--quick", action="store_true",
                    help="small shapes (smoke / CPU)")
+    p.add_argument("--arm", choices=["both", "adam", "ngd"], default="both",
+                   help="run one arm only (nat-lr sweeps reuse the cached "
+                        "Adam result instead of re-measuring it)")
     args = p.parse_args()
     if args.quick:
         args.N, args.D, args.L, args.M, args.batch = 2000, 100, 4, 128, 512
@@ -90,7 +93,9 @@ def main():
         log(f"{tag}: compile+warmup chunk {time.perf_counter()-t0:.1f}s "
             f"loss[0]={float(losses[0]):.4e}")
         devs = [float(_val_poisson_deviance(state.model, proj, y, vidx))]
+        loss_means = [float(np.mean(np.asarray(losses)))]
         times = []
+        bad_steps = int((~np.isfinite(np.asarray(losses))).sum())
         for c in range(n_chunks - 1):
             t0 = time.perf_counter()
             state, losses = runner(state, proj, y)
@@ -98,45 +103,52 @@ def main():
             times.append(time.perf_counter() - t0)
             devs.append(float(_val_poisson_deviance(state.model, proj,
                                                     y, vidx)))
+            loss_means.append(float(np.mean(np.asarray(losses))))
+            bad_steps += int((~np.isfinite(np.asarray(losses))).sum())
         rate = args.chunk / min(times)
-        assert np.isfinite(np.asarray(losses)).all(), f"{tag}: non-finite"
-        log(f"{tag}: {rate:.2f} steps/s, deviance trajectory "
-            f"{[round(d, 3) for d in devs]}")
-        return rate, devs
+        log(f"{tag}: {rate:.2f} steps/s, {bad_steps} non-finite/skipped "
+            f"steps, deviance trajectory {[round(d, 3) for d in devs]}")
+        log(f"{tag}: chunk-mean loss trajectory "
+            f"{['%.4e' % m for m in loss_means]}")
+        return rate, devs, bad_steps
 
-    # Adam arm — the production configuration
-    opt = cfg.optimizer()
-    st = TrainState.create(model, opt, key)
-    adam_step = make_batched_train_step(
-        nsf_negative_elbo_precomputed, opt, num_points=n_train,
-        batch_size=args.batch,
-        static_kwargs={"E": cfg.E, "y_transposed": True})
-    adam_rate, adam_devs = run_arm("adam", st, adam_step)
+    out = {"steps": args.steps, "chunk": args.chunk}
 
-    # NGD arm — same Adam on the head, natural steps on (mu, S).
-    # Fresh build (same key → identical init): the Adam arm's donated
-    # scan runner deleted the first model's buffers.
-    model = cfg.build(key, x)
-    ngd_state, part_opt = ngd_create(model, cfg.optimizer(), key)
-    ngd_step = make_ngd_train_step(
-        part_opt, num_points=n_train, batch_size=args.batch,
-        nat_lr=args.nat_lr, ramp_steps=args.ramp,
-        static_kwargs={"E": cfg.E, "y_transposed": True})
-    ngd_rate, ngd_devs = run_arm("ngd", ngd_state, ngd_step)
+    if args.arm in ("both", "adam"):
+        # Adam arm — the production configuration
+        opt = cfg.optimizer()
+        st = TrainState.create(model, opt, key)
+        adam_step = make_batched_train_step(
+            nsf_negative_elbo_precomputed, opt, num_points=n_train,
+            batch_size=args.batch,
+            static_kwargs={"E": cfg.E, "y_transposed": True})
+        adam_rate, adam_devs, adam_bad = run_arm("adam", st, adam_step)
+        out["adam"] = {"steps_per_sec": round(adam_rate, 2),
+                       "deviance": [round(d, 4) for d in adam_devs],
+                       "skipped_steps": adam_bad}
+        out["adam_final_deviance"] = round(adam_devs[-1], 4)
 
-    target = adam_devs[-1]
-    reach = next((i * args.chunk for i, d in enumerate(ngd_devs)
-                  if d <= target), None)
-    out = {
-        "adam": {"steps_per_sec": round(adam_rate, 2),
-                 "deviance": [round(d, 4) for d in adam_devs]},
-        "ngd": {"steps_per_sec": round(ngd_rate, 2),
-                "deviance": [round(d, 4) for d in ngd_devs],
-                "nat_lr": args.nat_lr, "ramp": args.ramp},
-        "adam_final_deviance": round(target, 4),
-        "ngd_steps_to_adam_final": reach,
-        "steps": args.steps, "chunk": args.chunk,
-    }
+    if args.arm in ("both", "ngd"):
+        # NGD arm — same Adam on the head, natural steps on (mu, S).
+        # Fresh build (same key → identical init): a donated scan runner
+        # deletes the previous arm's model buffers.
+        model = cfg.build(key, x)
+        ngd_state, part_opt = ngd_create(model, cfg.optimizer(), key)
+        ngd_step = make_ngd_train_step(
+            part_opt, num_points=n_train, batch_size=args.batch,
+            nat_lr=args.nat_lr, ramp_steps=args.ramp,
+            static_kwargs={"E": cfg.E, "y_transposed": True})
+        ngd_rate, ngd_devs, ngd_bad = run_arm("ngd", ngd_state, ngd_step)
+        out["ngd"] = {"steps_per_sec": round(ngd_rate, 2),
+                      "deviance": [round(d, 4) for d in ngd_devs],
+                      "skipped_steps": ngd_bad,
+                      "nat_lr": args.nat_lr, "ramp": args.ramp}
+
+    if args.arm == "both":
+        target = out["adam_final_deviance"]
+        out["ngd_steps_to_adam_final"] = next(
+            (i * args.chunk for i, d in enumerate(ngd_devs)
+             if d <= target), None)
     print(json.dumps({"metric": "ngd_vs_adam", "value": out,
                       "unit": "deviance trajectory", "vs_baseline": None}))
 

@@ -73,8 +73,10 @@ def shard_columns(mesh, array, axis_name="data"):
 # §2.7 — L independent M×M Choleskys partitioned across chips when L×M³
 # (plus Adam moments: ×3) exceeds one chip's HBM.
 FACTOR_PARAM_NAMES = ("mu", "Lu_raw", "sigma", "lengthscale",
-                      "V", "d_raw")  # V/d_raw: LowRankWSVGP's (L, M, r)
-                                     # factor and (L, M) diagonal
+                      "V", "d_raw",  # LowRankWSVGP's (L, M, r) factor
+                                     # and (L, M) diagonal
+                      "prec", "prec_chol")  # NGDTrainState's per-factor
+                                            # (L, M, M) precision pair
 
 
 def _leaf_name(path):

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec
 
 from gpzoo_tpu import dists
 from gpzoo_tpu.bijectors import lower_cholesky, lower_cholesky_inverse, softplus
@@ -191,7 +192,8 @@ def natural_update_guarded(m, prec, prec_chol, g_m, g_s, rho):
 
 
 def make_ngd_train_step(optimizer, num_points, batch_size, nat_lr,
-                        ramp_steps=0, static_kwargs=None, donate=False):
+                        ramp_steps=0, static_kwargs=None, donate=False,
+                        mesh=None, axis_name="data", state_shardings=None):
     """Step factory: NGD on (mu, q(u) covariance) + ``optimizer`` (Adam)
     on every other trainable leaf, from ONE loss/grad evaluation.
 
@@ -199,17 +201,52 @@ def make_ngd_train_step(optimizer, num_points, batch_size, nat_lr,
     linearly from ``nat_lr/100`` to ``nat_lr`` over that many steps —
     the standard guard for non-conjugate likelihoods, where a full-size
     first step can push P off the PD cone. ``optimizer`` must be the
-    PARTITIONED optimizer returned by :func:`ngd_create`."""
+    PARTITIONED optimizer returned by :func:`ngd_create`.
+
+    Sharded (SPMD) operation, mirroring
+    :func:`gpzoo_tpu.parallel.make_sharded_batched_train_step`: pass
+    ``mesh`` to constrain the minibatch index vector to
+    ``P(axis_name)`` — the batch-indexed tensors (projection gather,
+    ãᵀSã, the E×D×B rate matmul, the log-likelihood) then partition over
+    their B axis and XLA reduces the gradients over ICI. The per-factor
+    NGD state (mu, prec, prec_chol, and their natural update incl. the
+    L-batched Cholesky) partitions over a "factor" axis when
+    ``state_shardings`` (e.g. from :func:`gpzoo_tpu.parallel.
+    factor_shardings`, which covers prec/prec_chol) is pinned as the
+    output sharding."""
     import functools
 
     static_kwargs = dict(static_kwargs or {})
+    idx_sharding = None
+    jit_kwargs = {}
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        axes = (axis_name,) if isinstance(axis_name, str) else tuple(
+            axis_name)
+        n_way = 1
+        for a in axes:
+            n_way *= mesh.shape[a]
+        if batch_size % n_way != 0:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by mesh axes "
+                f"{axes}={n_way}"
+            )
+        idx_sharding = NamedSharding(mesh, PartitionSpec(axes))
+        if state_shardings is not None:
+            jit_kwargs["out_shardings"] = (
+                state_shardings, NamedSharding(mesh, PartitionSpec()))
+    elif state_shardings is not None:
+        raise ValueError("state_shardings requires mesh")
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @functools.partial(jax.jit, **jit_kwargs)
     def step(state, proj, y):
         next_key, k_idx, k_sample = jax.random.split(state.key, 3)
         idx = jax.random.choice(
             k_idx, num_points, shape=(batch_size,), replace=False
         )
+        if idx_sharding is not None:
+            idx = jax.lax.with_sharding_constraint(idx, idx_sharding)
         s = spd_inverse_from_cholesky(state.prec_chol)
         s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
 

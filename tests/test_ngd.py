@@ -166,6 +166,76 @@ def test_ngd_poisoned_step_skips_update(nsf_setup):
     assert np.isfinite(float(loss3))
 
 
+def test_ngd_sharded_step_matches_unsharded(nsf_setup):
+    """DP-sharded NGD step ≡ single-device: the idx sharding constraint
+    partitions the batch axis without changing the math (same key → same
+    minibatch → same loss and same natural update, float64)."""
+    from gpzoo_tpu.parallel import data_parallel_mesh, replicate
+
+    model, x, y, key = nsf_setup
+    proj = precompute_nsf_projection(model, x)
+    kw = dict(num_points=N, batch_size=B, nat_lr=0.05, ramp_steps=10,
+              static_kwargs={"E": 1})
+    state, part_opt = ngd_create(model, optax.adam(1e-3),
+                                 jax.random.PRNGKey(1))
+    step_ref = make_ngd_train_step(part_opt, **kw)
+    mesh = data_parallel_mesh()
+    step_sh = make_ngd_train_step(part_opt, mesh=mesh, **kw)
+    s_sh = replicate(mesh, state)
+    proj_sh, y_sh = replicate(mesh, (proj, y))
+    for _ in range(3):
+        state, l_ref = step_ref(state, proj, y)
+        s_sh, l_sh = step_sh(s_sh, proj_sh, y_sh)
+        assert float(l_ref) == pytest.approx(float(l_sh), rel=1e-9)
+    np.testing.assert_allclose(np.asarray(s_sh.prec_chol),
+                               np.asarray(state.prec_chol), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_sh.model.prior.mu),
+                               np.asarray(state.model.prior.mu), rtol=1e-9)
+
+
+def test_ngd_factor_sharded_state_matches_replicated():
+    """TP over the factor axis: factor_shardings partitions the NGD
+    state's (L, M, M) prec/prec_chol (alongside mu and the Adam
+    moments); the pinned output sharding survives the step; the training
+    math is unchanged vs the unsharded step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpzoo_tpu.parallel import (create_mesh, factor_shardings,
+                                    put_sharded, replicate)
+
+    l4, m4, n, b4 = 4, 16, 160, 32
+    coords, counts, _ = gz.data.simulate_nsf_counts(N=n, D=8, L=l4)
+    x = jnp.asarray(coords, jnp.float64)
+    y = jnp.asarray(counts, jnp.float64)
+    model = gz.SlideseqNSFConfig(D=8, N=n, L=l4, M=m4, batch_size=b4).build(
+        jax.random.PRNGKey(3), x)
+    proj = precompute_nsf_projection(model, x)
+    state, part_opt = ngd_create(model, optax.adam(1e-3),
+                                 jax.random.PRNGKey(1))
+    kw = dict(num_points=n, batch_size=b4, nat_lr=0.05, ramp_steps=10,
+              static_kwargs={"E": 1})
+    step_ref = make_ngd_train_step(part_opt, **kw)
+
+    mesh = create_mesh({"data": 4, "factor": 2})
+    shardings = factor_shardings(mesh, state, num_factors=l4)
+    fspec = NamedSharding(mesh, P("factor", None, None))
+    assert shardings.prec == fspec and shardings.prec_chol == fspec
+    s_sh = put_sharded(state, shardings)
+    step_sh = make_ngd_train_step(part_opt, mesh=mesh,
+                                  state_shardings=shardings, **kw)
+    proj_sh, y_sh = replicate(mesh, (proj, y))
+    for _ in range(3):
+        state, l_ref = step_ref(state, proj, y)
+        s_sh, l_sh = step_sh(s_sh, proj_sh, y_sh)
+        assert float(l_ref) == pytest.approx(float(l_sh), rel=1e-9)
+    assert s_sh.prec.sharding.spec == fspec.spec
+    assert s_sh.prec_chol.sharding.spec == fspec.spec
+    np.testing.assert_allclose(np.asarray(s_sh.prec_chol),
+                               np.asarray(state.prec_chol), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_sh.model.prior.mu),
+                               np.asarray(state.model.prior.mu), rtol=1e-9)
+
+
 def test_ngd_checkpoint_roundtrip_deterministic(tmp_path, nsf_setup):
     """Save/restore an NGDTrainState mid-run: the next step's loss is
     bit-identical. The checkpoint machinery is pytree-generic, but this
