@@ -193,7 +193,8 @@ def natural_update_guarded(m, prec, prec_chol, g_m, g_s, rho):
 
 def make_ngd_train_step(optimizer, num_points, batch_size, nat_lr,
                         ramp_steps=0, static_kwargs=None, donate=False,
-                        mesh=None, axis_name="data", state_shardings=None):
+                        mesh=None, axis_name="data", state_shardings=None,
+                        max_f=60.0):
     """Step factory: NGD on (mu, q(u) covariance) + ``optimizer`` (Adam)
     on every other trainable leaf, from ONE loss/grad evaluation.
 
@@ -213,7 +214,19 @@ def make_ngd_train_step(optimizer, num_points, batch_size, nat_lr,
     L-batched Cholesky) partitions over a "factor" axis when
     ``state_shardings`` (e.g. from :func:`gpzoo_tpu.parallel.
     factor_shardings`, which covers prec/prec_chol) is pinned as the
-    output sharding."""
+    output sharding.
+
+    ``max_f``: rate-overflow trust guard (None disables). The PD guard
+    alone cannot prevent the deadlock mode where one ACCEPTED update
+    lands the mean on a state whose log-rate F = mᵀã overflows ``exp``
+    in float32 (≈88.7) — every subsequent loss is then non-finite and
+    the skip-on-non-finite guard can never recover (measured at
+    north-star scale: nat_lr 0.02 poisons mu on step 1 and skips the
+    remaining 399 steps; docs/PERFORMANCE.md). A factor whose UPDATED
+    mean function exceeds ``max_f`` in magnitude on this step's
+    minibatch rejects its natural update exactly like a PD failure; 60
+    keeps Σ_l softplus(W)·exp(F_l) finite in float32 with huge margin
+    while sitting far beyond any sane count-data log-rate."""
     import functools
 
     static_kwargs = dict(static_kwargs or {})
@@ -272,6 +285,20 @@ def make_ngd_train_step(optimizer, num_points, batch_size, nat_lr,
         m_new, prec_new, chol_new, _ = natural_update_guarded(
             state.model.prior.mu, state.prec, state.prec_chol,
             g_model.prior.mu, g_s, rho)
+        if max_f is not None:
+            # rate-overflow trust guard (see docstring): reject factors
+            # whose updated mean function leaves the exp-safe region on
+            # this minibatch, exactly like a PD failure.
+            at = proj.proj_t[idx].T  # (M, B), same gather as the loss
+            f_new = jnp.einsum("lm,mb->lb", m_new, at)
+            f_abs = jnp.max(jnp.abs(f_new), axis=-1)  # (L,)
+            bad_f = ~(f_abs <= max_f)  # catches NaN too
+            mu_old = state.model.prior.mu
+            m_new = jnp.where(bad_f[:, None], mu_old, m_new)
+            prec_new = jnp.where(bad_f[:, None, None], state.prec,
+                                 prec_new)
+            chol_new = jnp.where(bad_f[:, None, None], state.prec_chol,
+                                 chol_new)
 
         updates, opt_state = optimizer.update(
             g_model, state.opt_state, state.model)

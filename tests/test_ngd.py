@@ -236,6 +236,39 @@ def test_ngd_factor_sharded_state_matches_replicated():
                                np.asarray(state.model.prior.mu), rtol=1e-9)
 
 
+def test_ngd_rate_overflow_guard_rejects_factors(nsf_setup):
+    """The max_f trust guard: with a cap below the init mean function's
+    magnitude, every factor's natural update is rejected (mu, prec,
+    prec_chol unchanged) while the Adam head still trains and the loss
+    stays finite; with the default cap the same step moves mu. This is
+    the guard that prevents the measured deadlock mode (one accepted
+    update → exp-overflowed F → every later loss non-finite)."""
+    model, x, y, key = nsf_setup
+    proj = precompute_nsf_projection(model, x)
+    # ramped rho: the first step must be PD-acceptable so the two arms
+    # differ ONLY in the F-cap (full rho=0.05 is PD-rejected on this toy)
+    kw = dict(num_points=N, batch_size=B, nat_lr=0.05, ramp_steps=10,
+              static_kwargs={"E": 1})
+    state, part_opt = ngd_create(model, optax.adam(1e-2),
+                                 jax.random.PRNGKey(1))
+    step_tiny = make_ngd_train_step(part_opt, max_f=1e-9, **kw)
+    s2, loss = step_tiny(state, proj, y)
+    assert np.isfinite(float(loss))
+    np.testing.assert_array_equal(np.asarray(s2.model.prior.mu),
+                                  np.asarray(state.model.prior.mu))
+    np.testing.assert_array_equal(np.asarray(s2.prec),
+                                  np.asarray(state.prec))
+    np.testing.assert_array_equal(np.asarray(s2.prec_chol),
+                                  np.asarray(state.prec_chol))
+    assert not np.array_equal(np.asarray(s2.model.W_raw),
+                              np.asarray(state.model.W_raw))
+
+    step_def = make_ngd_train_step(part_opt, **kw)
+    s3, _ = step_def(state, proj, y)
+    assert not np.array_equal(np.asarray(s3.model.prior.mu),
+                              np.asarray(state.model.prior.mu))
+
+
 def test_ngd_checkpoint_roundtrip_deterministic(tmp_path, nsf_setup):
     """Save/restore an NGDTrainState mid-run: the next step's loss is
     bit-identical. The checkpoint machinery is pytree-generic, but this
