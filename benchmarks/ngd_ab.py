@@ -9,8 +9,14 @@ first beats the Adam arm's FINAL deviance — the steps-to-quality framing
 that motivates NGVI (per-step cost is higher; convergence per step is
 what it buys).
 
-Usage: python benchmarks/ngd_ab.py [--steps 800] [--chunk 20]
-       [--nat-lr 0.05] [--ramp 100] [--quick]
+Usage: python benchmarks/ngd_ab.py [--steps 800] [--chunk 40]
+       [--nat-lr 0.01] [--ramp 400] [--quick]
+
+Defaults are the north-star-certified setting (2026-08-20 device sweep,
+docs/PERFORMANCE.md): nat_lr 0.01 with a 400-step ramp converges with 0
+rejected steps; 0.02 is intrinsically unstable at this scale (with any
+max_f), and un-ramped toy settings (0.05/100) deadlock without the
+rate-overflow guard.
 """
 
 from __future__ import annotations
@@ -29,9 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=800)
-    p.add_argument("--chunk", type=int, default=20)
-    p.add_argument("--nat-lr", type=float, default=0.05)
-    p.add_argument("--ramp", type=int, default=100)
+    p.add_argument("--chunk", type=int, default=40)
+    p.add_argument("--nat-lr", type=float, default=0.01)
+    p.add_argument("--ramp", type=int, default=400)
     p.add_argument("--N", type=int, default=45_000)
     p.add_argument("--D", type=int, default=4_000)
     p.add_argument("--L", type=int, default=20)
@@ -42,6 +48,9 @@ def main():
     p.add_argument("--arm", choices=["both", "adam", "ngd"], default="both",
                    help="run one arm only (nat-lr sweeps reuse the cached "
                         "Adam result instead of re-measuring it)")
+    p.add_argument("--max-f", type=float, default=60.0,
+                   help="NGD rate-overflow trust guard (train/ngd.py); "
+                        "tighter values act as a trust region")
     args = p.parse_args()
     if args.quick:
         args.N, args.D, args.L, args.M, args.batch = 2000, 100, 4, 128, 512
@@ -136,13 +145,14 @@ def main():
         ngd_state, part_opt = ngd_create(model, cfg.optimizer(), key)
         ngd_step = make_ngd_train_step(
             part_opt, num_points=n_train, batch_size=args.batch,
-            nat_lr=args.nat_lr, ramp_steps=args.ramp,
+            nat_lr=args.nat_lr, ramp_steps=args.ramp, max_f=args.max_f,
             static_kwargs={"E": cfg.E, "y_transposed": True})
         ngd_rate, ngd_devs, ngd_bad = run_arm("ngd", ngd_state, ngd_step)
         out["ngd"] = {"steps_per_sec": round(ngd_rate, 2),
                       "deviance": [round(d, 4) for d in ngd_devs],
                       "skipped_steps": ngd_bad,
-                      "nat_lr": args.nat_lr, "ramp": args.ramp}
+                      "nat_lr": args.nat_lr, "ramp": args.ramp,
+                      "max_f": args.max_f}
 
     if args.arm == "both":
         target = out["adam_final_deviance"]
