@@ -85,8 +85,18 @@ def _init_precision(gp):
 
 def ngd_create(model, optimizer, key):
     """Build an :class:`NGDTrainState` from an NSF-family model whose
-    prior carries per-factor (L, M) mu and (L, M, M) Lu_raw."""
-    gp = model.prior
+    prior carries per-factor (L, M) mu and (L, M, M) Lu_raw — NSF and
+    NBNSF (the NB dispersion head trains under the Adam partition and
+    the count likelihood dispatches through ``fast._count_py``)."""
+    gp = getattr(model, "prior", None)
+    if gp is None or not hasattr(gp, "Lu_raw"):
+        raise ValueError(
+            "NGD needs an NSF-family model whose .prior is an SVGP-style "
+            "posterior with per-factor (L, M) mu and (L, M, M) Lu_raw; "
+            f"got {type(model).__name__}. Hybrid heads (sf/cf halves — "
+            "the (m, S) ELBO has no mean-field term) and mean-field "
+            "priors keep the Adam paths."
+        )
     mu = jnp.asarray(gp.mu)
     if mu.ndim != 2 or jnp.asarray(gp.Lu_raw).ndim != 3:
         raise ValueError(

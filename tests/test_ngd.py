@@ -236,6 +236,56 @@ def test_ngd_factor_sharded_state_matches_replicated():
                                np.asarray(state.model.prior.mu), rtol=1e-9)
 
 
+def test_ngd_rejects_unsupported_heads():
+    """Hybrid (sf/cf) heads and mean-field priors must be rejected with
+    a clear error — the (m, S) ELBO has no mean-field term, so silently
+    accepting them would train a wrong objective."""
+    key = jax.random.PRNGKey(0)
+    hybrid = gz.HybridNSFConfig(D=8, N=200, L=2, T=2, M_grid=4).build(key)
+    with pytest.raises(ValueError, match="Hybrid"):
+        ngd_create(hybrid, optax.adam(1e-3), key)
+    pnmf = gz.PNMFConfig(D=8, N=200, L=2).build(key)
+    with pytest.raises(ValueError):
+        ngd_create(pnmf, optax.adam(1e-3), key)
+
+
+def test_ngd_nb_head(nsf_setup):
+    """NBNSF through NGD: the (m, S) ELBO dispatches the NB likelihood
+    (float64-pinned against the production fast loss at S = Lu Luᵀ), the
+    dispersion leaf trains under the Adam partition, and a short run
+    stays finite."""
+    _, x, y, key = nsf_setup
+    model = gz.SlideseqNSFConfig(
+        D=D, N=N, L=L, M=M, batch_size=B, likelihood="nb"
+    ).build(jax.random.PRNGKey(3), x)
+    lu_raw = 0.2 * jax.random.normal(jax.random.PRNGKey(8), (L, M, M))
+    model = model.replace(prior=model.prior.replace(Lu_raw=lu_raw))
+    proj = precompute_nsf_projection(model, x)
+
+    idx = jax.random.choice(jax.random.PRNGKey(5), N, (B,), replace=False)
+    ref = nsf_negative_elbo_precomputed(model, proj, y, idx, key, E=2)
+    lu = lower_cholesky(model.prior.Lu_raw)
+    s = jnp.einsum("lmk,lnk->lmn", lu, lu)
+    val = _ngd_negative_elbo_nologdet(model, s, proj, y, idx, key, E=2)
+    val = val - jnp.sum(tril_logdet(lu))
+    assert float(val) == pytest.approx(float(ref), rel=1e-9)
+
+    state, part_opt = ngd_create(model, optax.adam(1e-2),
+                                 jax.random.PRNGKey(1))
+    step = make_ngd_train_step(part_opt, num_points=N, batch_size=B,
+                               nat_lr=0.05, ramp_steps=10,
+                               static_kwargs={"E": 1})
+    r0 = np.asarray(state.model.r_raw)
+    losses = []
+    for _ in range(20):
+        state, l = step(state, proj, y)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    # the NB dispersion leaf is in the Adam partition, not frozen
+    assert not np.array_equal(np.asarray(state.model.r_raw), r0)
+
+
 def test_ngd_rate_overflow_guard_rejects_factors(nsf_setup):
     """The max_f trust guard: with a cap below the init mean function's
     magnitude, every factor's natural update is rejected (mu, prec,
