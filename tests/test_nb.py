@@ -187,6 +187,42 @@ def test_nbnsf_precomputed_matches_generic(nb_setup):
             rtol=1e-7, atol=1e-9, err_msg=name)
 
 
+def test_nbnsf_lowrank_precomputed_matches_generic(key, rng):
+    """The two beyond-reference capabilities COMPOSE: an NB head over a
+    low-rank-plus-diagonal q(u) (``SlideseqNSFConfig(rank=R,
+    likelihood='nb')``) rides the precomputed fast path with
+    generic-ELBO-equal value and gradients on every trainable leaf —
+    the NB dispersion (r_raw) AND the low-rank variational parts
+    (V, d_raw) at once."""
+    N, D, L, M, R, B = 220, 12, 3, 24, 4, 64
+    coords = jnp.asarray(rng.uniform(-2, 2, (N, 2)))
+    counts = jnp.asarray(rng.poisson(3.0, (D, N)).astype(np.float64))
+    model = gz.SlideseqNSFConfig(D=D, N=N, L=L, M=M, rank=R,
+                                 likelihood="nb").build(key, coords)
+    assert type(model).__name__ == "NBNSF"
+    assert type(model.prior).__name__ == "LowRankWSVGP"
+    idx = jax.random.choice(jax.random.PRNGKey(2), N, (B,), replace=False)
+    kk = jax.random.PRNGKey(11)
+    proj = precompute_nsf_projection(model, coords)
+    gen_val, g_ref = jax.value_and_grad(
+        lambda m: negative_elbo_batched(m, coords, counts, idx, kk, E=2)
+    )(model)
+    fast_val, g_pre = jax.value_and_grad(
+        lambda m: nsf_negative_elbo_precomputed(m, proj, counts, idx, kk,
+                                                E=2)
+    )(model)
+    assert float(fast_val) == pytest.approx(float(gen_val), rel=1e-9)
+    for name in ("W_raw", "V_raw", "r_raw"):
+        np.testing.assert_allclose(np.asarray(getattr(g_pre, name)),
+                                   np.asarray(getattr(g_ref, name)),
+                                   rtol=1e-7, atol=1e-9, err_msg=name)
+    for name in ("mu", "V", "d_raw"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_pre.prior, name)),
+            np.asarray(getattr(g_ref.prior, name)),
+            rtol=1e-7, atol=1e-9, err_msg=name)
+
+
 def test_nbnsf_vnngp_fast_matches_generic(key, rng):
     from gpzoo_tpu.train.fast import vnngp_nsf_negative_elbo_batched
 
